@@ -1,0 +1,267 @@
+"""Side-chain rotamer free energy via loopy belief propagation.
+
+Reference: src/rotamer.cpp (1082 LoC of SIMD message passing over a
+hand-built sparse edge hash).  TPU-native redesign:
+
+* Every residue is padded to MAX_ROT=6 rotamer slots with a validity mask;
+  there are no 1/3/6-rotamer node classes and no edge hash.
+* Bead-pair energies (the directional quadspline kernel of
+  src/bead_interaction.h) are computed on the dense bead grid and
+  scattered into residue-pair 6x6 blocks with two one-hot matmuls (MXU).
+* BP messages are one batched einsum over the dense (n_res, n_res, 6, 6)
+  edge-potential tensor per iteration; non-edges carry identity potentials
+  and provably do not move the fixed point.
+* The solve runs inside stop_gradient; the returned potential is the Bethe
+  free energy written as an explicit function of the (stopped) marginals
+  and the (differentiable) energies.  jax.grad then reproduces exactly the
+  reference's envelope-theorem derivative: edge sensitivity = pair
+  marginal, 1-body sensitivity = node marginal (rotamer.cpp:956-985).
+
+The padded-class trick mirrors how the reference already splits 1/3/6-rot
+NodeHolders; folding 1-rotamer residues into their neighbors (reference
+move_edge_prob_to_node2) is unnecessary here because a 1-rot node's belief
+is pinned by its mask and its messages act as the same constant field.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pairs import (gather_pair_params, quadspline_coverage,
+                         quadspline_family)
+from .base import register_node
+
+MAX_ROT = 6
+EPS = 1e-10
+
+
+def decode_bead_ids(packed_ids, n_bit_rotamer=4):
+    """Packed bead id -> (rot, n_rot, residue) bit fields
+    (reference rotamer.cpp:565-577, bead_interaction.h:131)."""
+    packed_ids = np.asarray(packed_ids, np.int64)
+    sel = (1 << n_bit_rotamer) - 1
+    rot = packed_ids & sel
+    n_rot = (packed_ids >> n_bit_rotamer) & sel
+    res = packed_ids >> (2 * n_bit_rotamer)
+    return rot.astype(np.int32), n_rot.astype(np.int32), res.astype(np.int32)
+
+
+def _bp_solve(prob, P, adj, valid, damping, max_iter, tol):
+    """Damped synchronous loopy BP on the dense residue grid.
+
+    prob:  (R, 6)        unnormalized node potentials (zero at invalid slots)
+    P:     (R, R, 6, 6)  pairwise Boltzmann factors, P[i,j,a,b]=exp(-E2[i,j,a,b])
+    adj:   (R, R) bool   which pairs are real edges (diagonal False)
+    valid: (R, 6) bool   rotamer-slot validity
+    Returns (node_belief (R,6) l1-normalized, edge_belief (R,R,6)).
+
+    Matches the reference solve_for_marginals schedule
+    (rotamer.cpp:988-1061): beliefs start from the bare probabilities, the
+    first sweep is undamped, subsequent sweeps mix with `damping`.
+    """
+    R = prob.shape[0]
+    adf = adj[..., None].astype(prob.dtype)
+
+    def edge_update(nb_for_v, eb):
+        # V[i,j,:] = nb[i]/(eps+eb[i,j,:]); message into i from j:
+        # eb_new[i,j,a] = sum_b P[i,j,a,b] * V[j,i,b]
+        V = nb_for_v[:, None, :] / (EPS + eb)
+        m = jnp.einsum('ijab,jib->ija', P, V)
+        m = jnp.where(valid[:, None, :], m, 0.0)
+        norm = jnp.sum(m, axis=-1, keepdims=True)
+        m = m / jnp.maximum(norm, EPS)
+        return jnp.where(adj[..., None], m, 1.0)
+
+    def node_update(eb):
+        # product over edges in log space (masked): robust for high degree
+        logm = jnp.log(jnp.maximum(eb, 1e-30)) * adf
+        nb = prob * jnp.exp(jnp.sum(logm, axis=1))
+        return nb / jnp.maximum(jnp.max(nb, axis=-1, keepdims=True), EPS)
+
+    # initial sweep (undamped; reference calculate_new_beliefs(0, true))
+    eb0 = edge_update(prob, jnp.ones((R, R, MAX_ROT), prob.dtype))
+    nb0 = prob / jnp.maximum(jnp.max(prob, -1, keepdims=True), EPS)
+
+    def cond(state):
+        _, _, it, dev = state
+        return (it < max_iter) & (dev > tol)
+
+    def body(state):
+        nb, eb, it, _ = state
+        eb_new = edge_update(nb, eb)
+        nb_new = node_update(eb_new)
+        nb_new = (1.0 - damping) * nb_new + damping * nb
+        dev = jnp.max(nb_new - nb)
+        return nb_new, eb_new, it + 1, dev
+
+    nb, eb, _, _ = jax.lax.while_loop(
+        cond, body, (nb0, eb0, jnp.asarray(0), jnp.asarray(jnp.inf, prob.dtype)))
+
+    nb = nb / jnp.maximum(jnp.sum(nb, -1, keepdims=True), EPS)
+    return nb, eb
+
+
+def bethe_free_energy(E1, offset, P, adj, valid, node_marg, edge_belief):
+    """Bethe free energy as an explicit function of the energies with the
+    marginals held constant (envelope form).
+
+    node term (rotamer.cpp:292-302):
+        offset_r + sum_o b log((eps+b)/(eps+exp(offset-E1)))
+    edge term (rotamer.cpp:431-451), i<j real edges:
+        sum_ab m log((eps+m)/(eps+P*b_i*b_j))
+    """
+    b = jax.lax.stop_gradient(node_marg)
+    pr = jnp.where(valid, jnp.exp(offset[:, None] - E1), 0.0)
+    node_en = offset + jnp.sum(
+        jnp.where(valid, b * jnp.log((EPS + b) / (EPS + pr)), 0.0), axis=-1)
+
+    eb = jax.lax.stop_gradient(edge_belief)
+    bc1 = b[:, None, :] / (EPS + eb)                 # (R,R,6) node i at edge ij
+    bc2 = jnp.swapaxes(bc1, 0, 1)                    # node j at edge ij
+    m_raw = P * bc1[:, :, :, None] * bc2[:, :, None, :]
+    m_norm = jnp.maximum(jnp.sum(m_raw, axis=(-1, -2), keepdims=True), EPS)
+    m = jax.lax.stop_gradient(m_raw / m_norm)
+
+    pbb = P * b[:, None, :, None] * b[None, :, None, :]
+    pair_valid = valid[:, None, :, None] & valid[None, :, None, :]
+    edge_en = jnp.sum(
+        jnp.where(pair_valid, m * jnp.log((EPS + m) / (EPS + pbb)), 0.0),
+        axis=(-1, -2))
+
+    iu = jnp.triu(adj, 1)  # count each edge once
+    return jnp.sum(node_en) + jnp.sum(jnp.where(iu, edge_en, 0.0))
+
+
+def _rotamer(consts, params, inputs, extra):
+    beads = inputs[0]                       # bead pos+dir node (n, >=6)
+    prob_nodes = inputs[1:]                 # 1-body energies, each (n, 1)
+
+    idx = consts["index"]                   # bead -> row in pos node
+    x = beads[idx]
+    rot = consts["rot"]                     # (n_bead,)
+    res = consts["res"]                     # (n_bead,) contiguous residue ids
+    n_res = int(consts["n_res"])
+    valid = jnp.asarray(consts["valid"])    # (n_res, 6) bool
+    onehot = jnp.asarray(consts["onehot"], x.dtype)      # (n_bead, n_res*6)
+    onehot_res = jnp.asarray(consts["onehot_res"], x.dtype)  # (n_bead, n_res)
+
+    # ---- 1-body energies -> node probabilities --------------------------
+    e_bead = jnp.zeros((x.shape[0],), x.dtype)
+    for pn in prob_nodes:
+        e_bead = e_bead + pn[idx, 0]
+    E1 = (e_bead @ onehot).reshape(n_res, MAX_ROT)
+    offset = jnp.min(jnp.where(valid, E1, jnp.inf), axis=-1)
+    prob = jnp.where(valid, jnp.exp(offset[:, None] - E1), 0.0)
+
+    # ---- bead-pair energies -> residue-pair 6x6 Boltzmann blocks --------
+    table = params["interaction_param"]
+    ka, k, dx = quadspline_family(table.shape[-1])
+    p = gather_pair_params(table, consts["type"], consts["type"])
+
+    disp = x[None, :, 0:3] - x[:, None, 0:3]
+    dist2 = jnp.sum(disp * disp, -1)
+    cutoff = (k - 2 - 1e-6) * dx
+    pair_mask = (res[:, None] != res[None, :]) & (dist2 < cutoff * cutoff)
+    E_pair = quadspline_coverage(p, x[:, 0:3], x[:, 3:6],
+                                 x[:, 0:3], x[:, 3:6], ka, k, 1.0 / dx,
+                                 pair_mask)
+
+    # scatter to (R*6, R*6) with two one-hot matmuls (MXU-friendly)
+    E2 = (onehot.T @ E_pair @ onehot).reshape(n_res, MAX_ROT, n_res, MAX_ROT)
+    E2 = jnp.transpose(E2, (0, 2, 1, 3))    # (R, R, 6, 6)
+    adjf = onehot_res.T @ pair_mask.astype(x.dtype) @ onehot_res
+    adj = (adjf > 0) & ~jnp.eye(n_res, dtype=bool)
+    P = jnp.exp(-E2)
+
+    # ---- solve (constant w.r.t. autodiff) and assemble Bethe energy -----
+    nb, eb = _bp_solve(jax.lax.stop_gradient(prob), jax.lax.stop_gradient(P),
+                       adj, valid, consts["damping"], consts["max_iter"],
+                       consts["tol"])
+    return bethe_free_energy(E1, offset, P, adj, valid, nb, eb)
+
+
+def _rot_get_param(c, p):
+    return np.asarray(p["interaction_param"]).ravel()
+
+
+def _rot_set_param(c, p, flat):
+    shape = np.asarray(p["interaction_param"]).shape
+    q = dict(p)
+    q["interaction_param"] = jnp.asarray(
+        np.asarray(flat, np.float32).reshape(shape))
+    return c, q
+
+
+rotamer = register_node("rotamer", True, _rotamer,
+                        get_param=_rot_get_param, set_param=_rot_set_param)
+
+
+def make_rotamer_consts(packed_ids, index, types, damping, max_iter, tol):
+    """Build the static scatter/mask structures from packed bead ids."""
+    rot, n_rot, res = decode_bead_ids(packed_ids)
+    # residues must be 0..n_res-1; remap defensively
+    uniq, res_c = np.unique(res, return_inverse=True)
+    n_res = len(uniq)
+    n_rot_per_res = np.zeros(n_res, np.int32)
+    n_rot_per_res[res_c] = n_rot
+    valid = np.arange(MAX_ROT)[None, :] < n_rot_per_res[:, None]
+
+    n_bead = len(rot)
+    onehot = np.zeros((n_bead, n_res * MAX_ROT), np.float32)
+    onehot[np.arange(n_bead), res_c * MAX_ROT + rot] = 1.0
+    onehot_res = np.zeros((n_bead, n_res), np.float32)
+    onehot_res[np.arange(n_bead), res_c] = 1.0
+
+    return {
+        "index": np.asarray(index, np.int32),
+        "type": np.asarray(types, np.int32),
+        "rot": rot, "res": res_c, "n_res": n_res,
+        "n_rot_per_res": n_rot_per_res,
+        "valid": valid, "onehot": onehot, "onehot_res": onehot_res,
+        "damping": float(damping), "max_iter": int(max_iter),
+        "tol": float(tol),
+    }
+
+
+def rotamer_marginals(consts, params, inputs):
+    """Posterior node marginals per bead (for chi1 prediction diagnostics).
+
+    Returns (node_marginals (n_res, 6), per-bead marginal (n_bead,))."""
+    beads = inputs[0]
+    prob_nodes = inputs[1:]
+    idx = consts["index"]
+    x = beads[idx]
+    valid = jnp.asarray(consts["valid"])
+    onehot = jnp.asarray(consts["onehot"], x.dtype)
+    onehot_res = jnp.asarray(consts["onehot_res"], x.dtype)
+    n_res = int(consts["n_res"])
+
+    e_bead = jnp.zeros((x.shape[0],), x.dtype)
+    for pn in prob_nodes:
+        e_bead = e_bead + pn[idx, 0]
+    E1 = (e_bead @ onehot).reshape(n_res, MAX_ROT)
+    offset = jnp.min(jnp.where(valid, E1, jnp.inf), axis=-1)
+    prob = jnp.where(valid, jnp.exp(offset[:, None] - E1), 0.0)
+
+    table = params["interaction_param"]
+    ka, k, dx = quadspline_family(table.shape[-1])
+    p = gather_pair_params(table, consts["type"], consts["type"])
+    res = consts["res"]
+    disp = x[None, :, 0:3] - x[:, None, 0:3]
+    dist2 = jnp.sum(disp * disp, -1)
+    cutoff = (k - 2 - 1e-6) * dx
+    pair_mask = (res[:, None] != res[None, :]) & (dist2 < cutoff * cutoff)
+    E_pair = quadspline_coverage(p, x[:, 0:3], x[:, 3:6], x[:, 0:3],
+                                 x[:, 3:6], ka, k, 1.0 / dx, pair_mask)
+    E2 = (onehot.T @ E_pair @ onehot).reshape(n_res, MAX_ROT, n_res, MAX_ROT)
+    E2 = jnp.transpose(E2, (0, 2, 1, 3))
+    adjf = onehot_res.T @ pair_mask.astype(x.dtype) @ onehot_res
+    adj = (adjf > 0) & ~jnp.eye(n_res, dtype=bool)
+    P = jnp.exp(-E2)
+
+    nb, _ = _bp_solve(prob, P, adj, valid, consts["damping"],
+                      consts["max_iter"], consts["tol"])
+    bead_marg = nb.reshape(-1)[consts["res"] * MAX_ROT + consts["rot"]]
+    return nb, bead_marg

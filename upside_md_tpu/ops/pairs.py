@@ -1,0 +1,96 @@
+"""Masked dense pair computations — the TPU replacement for the reference's
+cached Verlet pairlist + SIMD edge kernels (src/interaction_graph.h).
+
+For coarse-grained proteins (hundreds of residues, <~1k interaction sites)
+an O(N^2) masked computation is a small dense workload that XLA fuses and
+vectorizes far better than any gather-heavy neighbor list; there is no
+cache-invalidation logic and no dynamic shapes.  Exclusion predicates
+become boolean masks over id arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .spline import eval_bspline, eval_clamped_bspline
+
+
+def sequence_exclusion_mask(id1, id2, min_sep):
+    """True where the pair interacts: |id1-id2| > min_sep elementwise over
+    the (n1, n2) pair grid (reference acceptable_id_pair predicates,
+    e.g. interaction_graph exclusion of i,i+1,i+2)."""
+    d = id1[:, None] - id2[None, :]
+    return (d > min_sep) | (d < -min_sep)
+
+
+def upper_triangle_mask(n):
+    i = jnp.arange(n)
+    return i[:, None] < i[None, :]
+
+
+def pair_displacement(x1, x2):
+    """disp[i,j] = x1[i] - x2[j]; returns (disp, dist2)."""
+    disp = x1[:, None, :] - x2[None, :, :]
+    return disp, jnp.sum(disp * disp, -1)
+
+
+def safe_inv_dist(dist2, eps=0.0, mask=None):
+    """rsqrt(dist2+eps) that never NaNs under masked autodiff."""
+    d2 = dist2 + eps
+    if mask is not None:
+        d2 = jnp.where(mask, d2, 1.0)
+    else:
+        d2 = jnp.maximum(d2, 1e-12)
+    return 1.0 / jnp.sqrt(d2)
+
+
+def gather_pair_params(table, type1, type2):
+    """table: (n_type1, n_type2, n_param) -> per-pair params (n1,n2,n_param)."""
+    return table[type1[:, None], type2[None, :]]
+
+
+def quadspline_family(n_param):
+    """Infer (n_knot_angular, n_knot, dx) of a directional-bead spline table
+    from its parameter count.  The reference hard-codes these families at
+    compile time (src/bead_interaction.h:12-27, an acknowledged FIXME); the
+    three shipped families have distinct n_param = 2*ka + 2*k, so the table
+    shape determines the family at runtime."""
+    families = {
+        2 * 8 + 2 * 9: (8, 9, 1.0),     # default: SC_SC
+        2 * 8 + 2 * 7: (8, 7, 1.0),     # default: SC_BB
+        2 * 15 + 2 * 16: (15, 16, 0.5),  # PARAM_7A_CUTOFF: SC_SC
+        2 * 15 + 2 * 12: (15, 12, 0.5),  # PARAM_7A_CUTOFF: SC_BB
+        2 * 8 + 2 * 12: (8, 12, 1.0),   # PARAM_10A_CUTOFF: SC_SC and SC_BB
+    }
+    if n_param not in families:
+        raise ValueError(f"cannot infer quadspline family from n_param={n_param}")
+    return families[n_param]
+
+
+def quadspline_coverage(p, pos1, dir1, pos2, dir2,
+                        n_knot_angular, n_knot, inv_dx, mask):
+    """Directional bead-pair kernel (reference quadspline,
+    src/bead_interaction.h:30-84).
+
+    p: (n1, n2, 2*ka + 2*k) per-pair spline tables
+    pos/dir: (n, 3) point + unit direction per bead
+    Returns coverage (n1, n2) = wide(r) + ang1*ang2*narrow(r), masked.
+    """
+    ka, k = n_knot_angular, n_knot
+    disp = pos2[None, :, :] - pos1[:, None, :]  # x2 - x1, shape (n1, n2, 3)
+    dist2 = jnp.sum(disp * disp, -1)
+    inv_dist = safe_inv_dist(dist2, mask=mask)
+    dist_coord = dist2 * inv_dist * inv_dx
+    u = disp * inv_dist[..., None]
+
+    cos1 = jnp.sum(dir1[:, None, :] * u, -1)
+    cos2 = -jnp.sum(dir2[None, :, :] * u, -1)
+    inv_dtheta = (ka - 3) / 2.0
+
+    a1, _ = eval_bspline(p[..., 0:ka], (cos1 + 1.0) * inv_dtheta + 1.0)
+    a2, _ = eval_bspline(p[..., ka:2 * ka], (cos2 + 1.0) * inv_dtheta + 1.0)
+    wide, _ = eval_clamped_bspline(p[..., 2 * ka:2 * ka + k], dist_coord)
+    narrow, _ = eval_clamped_bspline(p[..., 2 * ka + k:], dist_coord)
+
+    cov = wide + a1 * a2 * narrow
+    return jnp.where(mask, cov, 0.0)

@@ -1,0 +1,98 @@
+"""System: a compiled computation graph producing a scalar potential.
+
+Replaces the reference DerivEngine (src/deriv_engine.cpp:94-192).  A System
+holds a topologically-ordered list of NodeSpecs; `energy` traces every node
+into one jittable function of (pos, params).  Forces are `-jax.grad`;
+per-node parameter derivatives are jax.grad w.r.t. the params pytree; node
+output cotangents ("sens" in the reference, e.g. the chi1-prediction path
+reading hbond_coverage sensitivities, py/predict_chi1.py:105) come from
+grad w.r.t. zero-valued injections added to each node output.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nodes.base import NodeSpec, topo_sort
+
+
+class System:
+    def __init__(self, n_atom: int, specs: List[NodeSpec]):
+        self.n_atom = n_atom
+        by_name = {s.name: s for s in specs}
+        if len(by_name) != len(specs):
+            raise ValueError("duplicate node names")
+        self.specs = topo_sort(by_name)
+        self.by_name = {s.name: s for s in self.specs}
+
+    # -- parameters ---------------------------------------------------------
+
+    def make_params(self) -> Dict[str, Dict]:
+        """The differentiable parameter pytree {node_name: {param: array}}."""
+        return {s.name: {k: jnp.asarray(v) for k, v in s.params.items()}
+                for s in self.specs if s.params}
+
+    # -- graph evaluation ----------------------------------------------------
+
+    def evaluate(self, pos, params, inject: Optional[Dict] = None,
+                 extra: Optional[Dict] = None):
+        """Run the graph.  Returns (total_potential, outputs, per_term).
+
+        inject: optional {node_name: array} added to that node's output —
+        used to extract output cotangents (reference 'sens') via jax.grad.
+        extra:  step-dependent scalars (e.g. {'time': t} for the AFM node).
+        """
+        extra = extra or {}
+        outputs = {"pos": pos}
+        per_term = {}
+        for s in self.specs:
+            inputs = [outputs[a] for a in s.args]
+            p = params.get(s.name, {})
+            out = s.node_type.compute(s.consts, p, inputs, extra)
+            if s.node_type.is_potential:
+                per_term[s.name] = out
+            else:
+                if inject is not None and s.name in inject:
+                    out = out + inject[s.name]
+                outputs[s.name] = out
+        total = jnp.asarray(0.0, dtype=pos.dtype)
+        for v in per_term.values():
+            total = total + v
+        return total, outputs, per_term
+
+    def energy(self, pos, params, extra: Optional[Dict] = None):
+        return self.evaluate(pos, params, extra=extra)[0]
+
+    def deriv(self, pos, params):
+        """d(potential)/d(pos) — the reference calls this 'deriv'; force is
+        its negation."""
+        return jax.grad(self.energy)(pos, params)
+
+    def get_output(self, pos, params, name):
+        return self.evaluate(pos, params)[1][name]
+
+    def get_sens(self, pos, params, name):
+        """Cotangent of the total potential w.r.t. node `name`'s output."""
+        out_shape = self.get_output(pos, params, name)
+
+        def f(z):
+            return self.evaluate(pos, params, inject={name: z})[0]
+
+        return jax.grad(f)(jnp.zeros_like(out_shape))
+
+    def param_deriv(self, pos, params, name):
+        """Gradient of total potential w.r.t. node `name`'s params."""
+        def f(p_node):
+            p = dict(params)
+            p[name] = p_node
+            return self.energy(pos, p)
+
+        return jax.grad(f)(params[name])
+
+
+def build_system(n_atom: int, specs: List[NodeSpec]) -> System:
+    return System(n_atom, specs)
