@@ -134,13 +134,17 @@ def bethe_free_energy(E1, offset, P, adj, valid, node_marg, edge_belief):
     return jnp.sum(node_en) + jnp.sum(jnp.where(iu, edge_en, 0.0))
 
 
-def _rotamer(consts, params, inputs, extra):
+def assemble_rotamer_energies(consts, params, inputs):
+    """Build the padded residue-level BP problem from bead geometry.
+
+    Returns (E1 (R,6), offset (R,), prob (R,6), P (R,R,6,6), adj, valid) —
+    the reference builds the same data into its Node/EdgeHolders
+    (rotamer.cpp fill_holders, :793-852)."""
     beads = inputs[0]                       # bead pos+dir node (n, >=6)
     prob_nodes = inputs[1:]                 # 1-body energies, each (n, 1)
 
     idx = consts["index"]                   # bead -> row in pos node
     x = beads[idx]
-    rot = consts["rot"]                     # (n_bead,)
     res = consts["res"]                     # (n_bead,) contiguous residue ids
     n_res = int(consts["n_res"])
     valid = jnp.asarray(consts["valid"])    # (n_res, 6) bool
@@ -163,19 +167,30 @@ def _rotamer(consts, params, inputs, extra):
     disp = x[None, :, 0:3] - x[:, None, 0:3]
     dist2 = jnp.sum(disp * disp, -1)
     cutoff = (k - 2 - 1e-6) * dx
-    pair_mask = (res[:, None] != res[None, :]) & (dist2 < cutoff * cutoff)
+    n_bead = x.shape[0]
+    # count each unordered bead pair exactly once (reference pairlist
+    # builds b1<b2 edges); the residue-block tensor is then symmetrized
+    triangle = jnp.arange(n_bead)[:, None] < jnp.arange(n_bead)[None, :]
+    pair_mask = triangle & (res[:, None] != res[None, :]) & \
+        (dist2 < cutoff * cutoff)
     E_pair = quadspline_coverage(p, x[:, 0:3], x[:, 3:6],
                                  x[:, 0:3], x[:, 3:6], ka, k, 1.0 / dx,
                                  pair_mask)
 
     # scatter to (R*6, R*6) with two one-hot matmuls (MXU-friendly)
-    E2 = (onehot.T @ E_pair @ onehot).reshape(n_res, MAX_ROT, n_res, MAX_ROT)
-    E2 = jnp.transpose(E2, (0, 2, 1, 3))    # (R, R, 6, 6)
+    E2u = (onehot.T @ E_pair @ onehot).reshape(n_res, MAX_ROT, n_res, MAX_ROT)
+    E2u = jnp.transpose(E2u, (0, 2, 1, 3))    # (R, R, 6, 6)
+    E2 = E2u + jnp.transpose(E2u, (1, 0, 3, 2))
     adjf = onehot_res.T @ pair_mask.astype(x.dtype) @ onehot_res
-    adj = (adjf > 0) & ~jnp.eye(n_res, dtype=bool)
+    adj = ((adjf + adjf.T) > 0) & ~jnp.eye(n_res, dtype=bool)
     P = jnp.exp(-E2)
+    return E1, offset, prob, P, adj, valid
 
-    # ---- solve (constant w.r.t. autodiff) and assemble Bethe energy -----
+
+def _rotamer(consts, params, inputs, extra):
+    E1, offset, prob, P, adj, valid = assemble_rotamer_energies(
+        consts, params, inputs)
+    # solve (constant w.r.t. autodiff) and assemble the Bethe energy
     nb, eb = _bp_solve(jax.lax.stop_gradient(prob), jax.lax.stop_gradient(P),
                        adj, valid, consts["damping"], consts["max_iter"],
                        consts["tol"])
@@ -229,38 +244,8 @@ def rotamer_marginals(consts, params, inputs):
     """Posterior node marginals per bead (for chi1 prediction diagnostics).
 
     Returns (node_marginals (n_res, 6), per-bead marginal (n_bead,))."""
-    beads = inputs[0]
-    prob_nodes = inputs[1:]
-    idx = consts["index"]
-    x = beads[idx]
-    valid = jnp.asarray(consts["valid"])
-    onehot = jnp.asarray(consts["onehot"], x.dtype)
-    onehot_res = jnp.asarray(consts["onehot_res"], x.dtype)
-    n_res = int(consts["n_res"])
-
-    e_bead = jnp.zeros((x.shape[0],), x.dtype)
-    for pn in prob_nodes:
-        e_bead = e_bead + pn[idx, 0]
-    E1 = (e_bead @ onehot).reshape(n_res, MAX_ROT)
-    offset = jnp.min(jnp.where(valid, E1, jnp.inf), axis=-1)
-    prob = jnp.where(valid, jnp.exp(offset[:, None] - E1), 0.0)
-
-    table = params["interaction_param"]
-    ka, k, dx = quadspline_family(table.shape[-1])
-    p = gather_pair_params(table, consts["type"], consts["type"])
-    res = consts["res"]
-    disp = x[None, :, 0:3] - x[:, None, 0:3]
-    dist2 = jnp.sum(disp * disp, -1)
-    cutoff = (k - 2 - 1e-6) * dx
-    pair_mask = (res[:, None] != res[None, :]) & (dist2 < cutoff * cutoff)
-    E_pair = quadspline_coverage(p, x[:, 0:3], x[:, 3:6], x[:, 0:3],
-                                 x[:, 3:6], ka, k, 1.0 / dx, pair_mask)
-    E2 = (onehot.T @ E_pair @ onehot).reshape(n_res, MAX_ROT, n_res, MAX_ROT)
-    E2 = jnp.transpose(E2, (0, 2, 1, 3))
-    adjf = onehot_res.T @ pair_mask.astype(x.dtype) @ onehot_res
-    adj = (adjf > 0) & ~jnp.eye(n_res, dtype=bool)
-    P = jnp.exp(-E2)
-
+    _, _, prob, P, adj, valid = assemble_rotamer_energies(
+        consts, params, inputs)
     nb, _ = _bp_solve(prob, P, adj, valid, consts["damping"],
                       consts["max_iter"], consts["tol"])
     bead_marg = nb.reshape(-1)[consts["res"] * MAX_ROT + consts["rot"]]
