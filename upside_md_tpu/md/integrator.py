@@ -1,0 +1,53 @@
+"""Velocity-Verlet-family integrator (reference: src/deriv_engine.cpp:11-35,
+172-192).
+
+One integration "round" is three force evaluations with per-stage momentum/
+position weights; `verlet` weights are all 1, `predescu` uses the optimized
+coefficients of Predescu et al., 2012.  Masses are unit for all particles.
+All state updates are pure; the force function is -grad of the traced
+energy.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+INTEGRATOR_COEFFS = {}
+for _name, (_a, _b) in {"verlet": (1.0 / 6.0, 1.0 / 3.0),
+                        "predescu": (0.108991425403425322,
+                                     0.290485609075128726)}.items():
+    INTEGRATOR_COEFFS[_name] = (
+        np.array([1.5 - 3 * _a, 1.5 - 3 * _a, 6 * _a]),
+        np.array([3 * _b, 3.0 - 6 * _b, 3 * _b]),
+    )
+
+
+def clip_force(deriv, max_force):
+    """Smooth atan-based force clipping (deriv_engine.cpp:25-29)."""
+    if not max_force:
+        return deriv
+    f_mag = jnp.sqrt(jnp.sum(deriv * deriv, -1, keepdims=True)) + 1e-6
+    scale = jnp.arctan(f_mag * (0.5 * jnp.pi / max_force)) * \
+        (max_force / f_mag * (2.0 / jnp.pi))
+    return deriv * scale
+
+
+def integration_cycle(deriv_fn, pos, mom, dt, max_force=0.0,
+                      integrator="verlet"):
+    """Advance one round (3 force evaluations).  deriv_fn(pos) returns
+    dU/dpos; mom -= vel_w*dt*deriv; pos += pos_w*dt*mom per stage."""
+    mom_w, pos_w = INTEGRATOR_COEFFS[integrator]
+    for stage in range(3):
+        d = clip_force(deriv_fn(pos), max_force)
+        mom = mom - (dt * mom_w[stage]) * d
+        pos = pos + (dt * pos_w[stage]) * mom
+    return pos, mom
+
+
+def recenter(pos, xy_only=False):
+    """Remove the center of mass (deriv_engine.cpp:37-48)."""
+    center = jnp.mean(pos, axis=-2, keepdims=True)
+    if xy_only:
+        center = center * jnp.asarray([1.0, 1.0, 0.0], pos.dtype)
+    return pos - center
