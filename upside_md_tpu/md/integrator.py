@@ -17,9 +17,11 @@ INTEGRATOR_COEFFS = {}
 for _name, (_a, _b) in {"verlet": (1.0 / 6.0, 1.0 / 3.0),
                         "predescu": (0.108991425403425322,
                                      0.290485609075128726)}.items():
+    # plain Python floats: weak-typed under JAX so they never promote the
+    # simulation state dtype
     INTEGRATOR_COEFFS[_name] = (
-        np.array([1.5 - 3 * _a, 1.5 - 3 * _a, 6 * _a]),
-        np.array([3 * _b, 3.0 - 6 * _b, 3 * _b]),
+        [1.5 - 3 * _a, 1.5 - 3 * _a, 6 * _a],
+        [3 * _b, 3.0 - 6 * _b, 3 * _b],
     )
 
 
@@ -35,11 +37,11 @@ def clip_force(deriv, max_force):
 
 def integration_cycle(deriv_fn, pos, mom, dt, max_force=0.0,
                       integrator="verlet"):
-    """Advance one round (3 force evaluations).  deriv_fn(pos) returns
-    dU/dpos; mom -= vel_w*dt*deriv; pos += pos_w*dt*mom per stage."""
+    """Advance one round (3 force evaluations).  deriv_fn(pos, stage)
+    returns dU/dpos; mom -= vel_w*dt*deriv; pos += pos_w*dt*mom per stage."""
     mom_w, pos_w = INTEGRATOR_COEFFS[integrator]
     for stage in range(3):
-        d = clip_force(deriv_fn(pos), max_force)
+        d = clip_force(deriv_fn(pos, stage), max_force).astype(pos.dtype)
         mom = mom - (dt * mom_w[stage]) * d
         pos = pos + (dt * pos_w[stage]) * mom
     return pos, mom

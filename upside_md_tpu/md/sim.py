@@ -124,7 +124,10 @@ class Simulation:
         def energy(p):
             return self.system.energy(p, params)
 
-        deriv = jax.grad(energy)
+        def deriv(p, stage):
+            extra = {"n_deriv_evals": 3 * nr + stage + 1}
+            return jax.grad(
+                lambda q: self.system.energy(q, params, extra=extra))(p)
 
         # Monte Carlo moves (not at round 0, main.cpp:628-631)
         if self.mc_interval:

@@ -66,8 +66,10 @@ tension = register_node("tension", True, _tension)
 
 
 def _afm(consts, params, inputs, extra):
-    # constant-velocity pulling: tip moves with time (bonds.cpp:148-166)
-    t = extra.get("time", 0.0)
+    # constant-velocity pulling: tip moves with the force-evaluation counter
+    # (bonds.cpp:148-166; the reference increments per DerivMode compute)
+    n_evals = extra.get("n_deriv_evals", 0)
+    t = consts.get("time_initial", 0.0) + consts.get("time_step", 0.009) * n_evals
     x = inputs[0][consts["atom"]]
     tip = params["starting_tip_pos"] + params["pulling_vel"] * t
     disp = x - tip
