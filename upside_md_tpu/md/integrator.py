@@ -38,12 +38,26 @@ def clip_force(deriv, max_force):
 def integration_cycle(deriv_fn, pos, mom, dt, max_force=0.0,
                       integrator="verlet"):
     """Advance one round (3 force evaluations).  deriv_fn(pos, stage)
-    returns dU/dpos; mom -= vel_w*dt*deriv; pos += pos_w*dt*mom per stage."""
+    returns dU/dpos; mom -= vel_w*dt*deriv; pos += pos_w*dt*mom per stage.
+
+    The three stages run under lax.scan so the (large) force-evaluation
+    graph is traced and compiled once, not three times — a 3x XLA
+    compile-time saving that matters for the full forcefield."""
+    import jax
+
     mom_w, pos_w = INTEGRATOR_COEFFS[integrator]
-    for stage in range(3):
-        d = clip_force(deriv_fn(pos, stage), max_force).astype(pos.dtype)
-        mom = mom - (dt * mom_w[stage]) * d
-        pos = pos + (dt * pos_w[stage]) * mom
+    weights = jnp.stack([jnp.asarray(mom_w, pos.dtype),
+                         jnp.asarray(pos_w, pos.dtype)], axis=-1)  # (3, 2)
+
+    def stage(carry, w):
+        pos, mom, stage_idx = carry
+        d = clip_force(deriv_fn(pos, stage_idx), max_force).astype(pos.dtype)
+        mom = mom - (dt * w[0]) * d
+        pos = pos + (dt * w[1]) * mom
+        return (pos, mom, stage_idx + 1), None
+
+    (pos, mom, _), _ = jax.lax.scan(
+        stage, (pos, mom, jnp.asarray(0, jnp.int32)), weights)
     return pos, mom
 
 

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,8 +63,9 @@ def hbond_pair_strength(p, H, rHN, O, rOC):
     dotHOC = jnp.sum(rHO * rOC[None, :, :], -1)
     dotOHN = -jnp.sum(rHO * rHN[:, None, :], -1)
 
-    def rsig(x):  # reference 'sigmoid': 1/(1+exp(x)), decreasing
-        return 1.0 / (1.0 + jnp.exp(x))
+    def rsig(x):  # reference 'sigmoid': 1/(1+exp(x)), decreasing;
+        # jax.nn.sigmoid is overflow-safe in float32 for distant pairs
+        return jax.nn.sigmoid(-x)
 
     radial = rsig((p[..., 2] - magHO) * p[..., 3]) * \
         rsig((magHO - p[..., 0]) * p[..., 1])
@@ -82,8 +84,12 @@ def _protein_hbond(consts, params, inputs, extra):
                            consts["type1"], consts["type2"])
     hb = hbond_pair_strength(p, don[:, 0:3], don[:, 3:6],
                              acc[:, 0:3], acc[:, 3:6])
-    # multiplicative space: hb_log = -log(1-hb), capped at 100 (hbond.cpp:221)
-    hb_log = jnp.where(hb >= 1.0, 100.0, -jnp.log1p(-jnp.minimum(hb, 1.0 - 1e-12)))
+    # multiplicative space: hb_log = -log(1-hb), value capped at 100 and
+    # slope capped at 1e5 like the reference (hbond.cpp:221-223).  The
+    # 1e-5 floor keeps the gradient finite when the sigmoid product
+    # saturates to exactly 1 in float32.
+    hb_log = jnp.where(hb >= 1.0, 100.0,
+                       -jnp.log(jnp.maximum(1.0 - hb, 1e-5)))
     don_sum = jnp.sum(hb_log, axis=1)
     acc_sum = jnp.sum(hb_log, axis=0)
     hb_prob = 1.0 - jnp.exp(-jnp.concatenate([don_sum, acc_sum]))
