@@ -26,8 +26,7 @@ jax.config.update("jax_enable_x64", True)
 
 from jax._src import xla_bridge as _xb  # noqa: E402
 
-for _plugin in ("axon", "tpu"):
-    _xb._backend_factories.pop(_plugin, None)
+_xb._backend_factories.pop("axon", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
