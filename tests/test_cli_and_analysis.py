@@ -1,0 +1,123 @@
+"""CLI driver, trajectory tools, run orchestration, analysis."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from upside_md_tpu.analysis import (attr_overview, diagnose_traj,
+                                    energy_blame, radius_of_gyration, rmsd)
+from upside_md_tpu.config.builder import ConfigBuilder, random_initial_config
+from upside_md_tpu.io.trajectory import (load_upside_traj,
+                                         reconstruct_virtual_atoms,
+                                         write_pdb, write_vtf)
+from upside_md_tpu.run import continue_sim, run_upside, swap_table2d
+
+SEQ = 'MKVLFEGAR'
+
+
+def small_config(tmp_path, name='sys.up', seed=1):
+    rng = np.random.default_rng(0)
+    b = ConfigBuilder(f'>x\n{SEQ}\n', seed=seed)
+    b.add_backbone_springs()
+    b.add_rama_map_pot(0.3 * rng.normal(size=(b.n_res, 12, 12)))
+    b.add_backbone_pairs()
+    b.add_hbond(hbond_energy=-2.0)
+    return b.write(str(tmp_path / name))
+
+
+def test_cli_run_and_outputs(tmp_path, capsys):
+    path = small_config(tmp_path)
+    rc = run_upside([path], duration=2.7, frame_interval=0.27,
+                    temperature="0.9", seed=5)
+    assert rc == 0
+    with h5py.File(path, 'r') as f:
+        n_frame = f['output/pos'].shape[0]
+        assert n_frame >= 9
+        assert f['output/pos'].shape[1:] == (1, 3 * len(SEQ), 3)
+        assert np.all(np.isfinite(f['output/pos'][:]))
+        assert f['output/potential'].shape[0] == n_frame
+    out = capsys.readouterr().out
+    assert 'avg_kinetic_energy/1.5kT' in out
+
+
+def test_cli_replica_exchange(tmp_path):
+    paths = [small_config(tmp_path, f's{i}.up', seed=1) for i in range(4)]
+    rc = run_upside(paths, duration=1.35, frame_interval=0.27,
+                    temperature="0.8,0.9,1.0,1.1", seed=5,
+                    extra_args=["--replica-interval=0.27",
+                                "--swap-set=0-1,2-3", "--swap-set=1-2"])
+    assert rc == 0
+    with h5py.File(paths[0], 'r') as f:
+        assert 'replica_index' in f['output']
+
+
+def test_continue_sim(tmp_path):
+    path = small_config(tmp_path)
+    run_upside([path], duration=0.54, frame_interval=0.27, seed=5)
+    with h5py.File(path, 'r') as f:
+        last = np.asarray(f['output/pos'])[-1, 0]
+    continue_sim([path], duration=0.54, frame_interval=0.27, seed=6)
+    with h5py.File(path, 'r') as f:
+        assert 'output_previous_0' in f
+        np.testing.assert_allclose(np.asarray(f['input/pos'])[:, :, 0], last)
+    seq, time, pos = load_upside_traj(path)
+    n0 = 0
+    with h5py.File(path, 'r') as f:
+        n0 = f['output_previous_0/pos'].shape[0] + f['output/pos'].shape[0]
+    assert pos.shape[0] == n0
+
+
+def test_trajectory_tools(tmp_path):
+    path = small_config(tmp_path)
+    run_upside([path], duration=0.54, frame_interval=0.27, seed=5)
+    seq, time, pos = load_upside_traj(path)
+    names, residues, xyz = reconstruct_virtual_atoms(seq, pos)
+    assert 'CB' in names and 'O' in names and 'H' in names
+    assert xyz.shape[0] == pos.shape[0]
+    # CB should be ~1.53 A from CA
+    for i, nm in enumerate(names):
+        if nm == 'CB':
+            ca = [j for j in range(len(names))
+                  if residues[j] == residues[i] and names[j] == 'CA'][0]
+            d = np.linalg.norm(xyz[0, i] - xyz[0, ca])
+            assert 1.0 < d < 2.0
+    write_vtf(str(tmp_path / 't.vtf'), seq, pos)
+    write_pdb(str(tmp_path / 't.pdb'), seq, pos)
+    assert os.path.getsize(tmp_path / 't.vtf') > 0
+    assert os.path.getsize(tmp_path / 't.pdb') > 0
+
+
+def test_analysis_tools(tmp_path, rng):
+    path = small_config(tmp_path)
+    run_upside([path], duration=0.54, frame_interval=0.27, seed=5)
+    overview = attr_overview(path)
+    assert 'input/potential/dist_spring/id' in overview
+    d = diagnose_traj(path)
+    assert np.isfinite(d['mean_ke'])
+
+    from upside_md_tpu.config.reader import load_system
+    system, params, pos, aux = load_system(path)
+    blame = energy_blame(system, params, pos)
+    assert 'rama_map_pot' in blame
+
+    # rmsd sanity: rotated copy has ~0 rmsd
+    x = rng.normal(size=(11, 3))
+    from upside_md_tpu.ops.geometry import axis_angle_to_rot
+    import jax.numpy as jnp
+    R = np.asarray(axis_angle_to_rot(jnp.asarray(0.7),
+                                     jnp.asarray([0., 0., 1.])))
+    assert rmsd(x @ R.T + 3.0, x) < 1e-5
+    assert radius_of_gyration(x) > 0
+
+
+def test_swap_table2d():
+    sets = swap_table2d(2, 3)
+    # every pair index valid and non-overlapping within a set
+    for s in sets:
+        seen = set()
+        for pair in s.split(','):
+            a, b = map(int, pair.split('-'))
+            assert a not in seen and b not in seen
+            seen.update((a, b))

@@ -1,0 +1,84 @@
+"""Analysis / diagnostics utilities.
+
+Replacements for the reference's small analysis scripts:
+* attr_overview  (py/attr_overview.py)  — dump the HDF5 tree + attrs
+* diagnose_traj  (py/diagnostic.py)     — hot-frame / kinetic-energy outliers
+* energy_blame   (py/energy_blame.py)   — per-term and per-residue energy
+                                          attribution at a configuration
+* basic observables: radius of gyration, RMSD with optimal alignment
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import h5py
+import numpy as np
+
+
+def attr_overview(path):
+    """Readable dump of the config tree (datasets, shapes, attrs)."""
+    lines = []
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            lines.append(f"{name}  {obj.shape} {obj.dtype}")
+        attrs = dict(obj.attrs)
+        for k, v in sorted(attrs.items()):
+            lines.append(f"{name}@{k} = {v!r}")
+
+    with h5py.File(path, "r") as f:
+        f.visititems(visit)
+    return "\n".join(lines)
+
+
+def radius_of_gyration(pos):
+    """pos (..., n_atom, 3) -> Rg (...)."""
+    com = pos.mean(axis=-2, keepdims=True)
+    return np.sqrt(((pos - com) ** 2).sum(-1).mean(-1))
+
+
+def rmsd(pos, ref):
+    """Optimal-superposition RMSD via the Kabsch/quaternion method."""
+    import jax.numpy as jnp
+
+    from .ops.geometry import max_eigvec_sym4
+
+    pos = np.asarray(pos, np.float64)
+    ref = np.asarray(ref, np.float64)
+    x = pos - pos.mean(-2, keepdims=True)
+    y = ref - ref.mean(-2, keepdims=True)
+    R = np.einsum('...ai,...aj->...ij', y, x)
+    R00, R01, R02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    R10, R11, R12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    R20, R21, R22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    F = np.stack([
+        np.stack([R00 + R11 + R22, R12 - R21, R20 - R02, R01 - R10], -1),
+        np.stack([R12 - R21, R00 - R11 - R22, R01 + R10, R02 + R20], -1),
+        np.stack([R20 - R02, R01 + R10, -R00 + R11 - R22, R12 + R21], -1),
+        np.stack([R01 - R10, R02 + R20, R12 + R21, -R00 - R11 + R22], -1),
+    ], axis=-2)
+    lam, _ = max_eigvec_sym4(jnp.asarray(F))
+    lam = np.asarray(lam)
+    msd = (np.sum(x * x, (-2, -1)) + np.sum(y * y, (-2, -1))
+           - 2.0 * lam) / pos.shape[-2]
+    return np.sqrt(np.maximum(msd, 0.0))
+
+
+def diagnose_traj(path, ke_sigma=4.0):
+    """Flag frames whose kinetic energy is a >ke_sigma outlier — the
+    reference's hot-frame detector (py/diagnostic.py)."""
+    with h5py.File(path, "r") as f:
+        ke = np.asarray(f["output/kinetic"]).reshape(-1)
+    mu, sd = ke.mean(), ke.std()
+    hot = np.where(ke > mu + ke_sigma * sd)[0]
+    return {"mean_ke": float(mu), "std_ke": float(sd),
+            "hot_frames": hot.tolist()}
+
+
+def energy_blame(system, params, pos) -> Dict[str, float]:
+    """Per-term energy attribution at one configuration
+    (py/energy_blame.py)."""
+    import jax.numpy as jnp
+    _, _, per_term = system.evaluate(jnp.asarray(pos), params)
+    return {k: float(v) for k, v in per_term.items()}
