@@ -175,6 +175,11 @@ class ConfigBuilder:
         N_id = 3 * np.arange(n_res)
         ids = np.column_stack([N_id - 1, N_id, N_id + 1, N_id + 2, N_id + 3])
         ids[ids >= self.n_atom] = -1
+        # chain breaks make terminal phi/psi dummy angles
+        for start_atom in getattr(self, '_chain_starts', [])[1:]:
+            r = int(start_atom) // 3
+            ids[r, 0] = -1        # cut phi of the chain's first residue
+            ids[r - 1, 4] = -1    # cut psi of the previous chain's last
         self._group('rama_coord', ['pos'], id=ids)
         return self
 
@@ -202,6 +207,30 @@ class ConfigBuilder:
         pots = read_weighted_maps(list(self.seq_with_cpr), library_path,
                                   sheet_mixing, mode)
         return self.add_rama_map_pot(pots)
+
+    def add_torus_dbn(self, torus_dbn_library):
+        """TorusDBN Rama prior: von-Mises emission energies + fixed HMM
+        over hidden states (upside_config.py:642-689)."""
+        with h5py.File(torus_dbn_library, 'r') as data:
+            restype_order = [b.decode() if isinstance(b, bytes) else str(b)
+                             for b in data['restype_order']]
+            dbn_num = {x: i for i, x in enumerate(restype_order)}
+            basin_param = np.asarray(data['basin_param'])
+            aa_basin_energy = np.asarray(data['aa_basin_energy'])
+            transition_energy = np.asarray(data['transition_energy'])
+        restypes = np.array([dbn_num[s] for s in self.seq_with_cpr],
+                            np.int32)
+        self.require_rama = True
+        # terminal residues have dummy Rama angles; keep them out of the HMM
+        self._group('torus_dbn', ['rama_coord'],
+                    id=np.arange(1, self.n_res - 1),
+                    restypes=restypes[1:-1],
+                    prior_offset_energies=aa_basin_energy,
+                    basin_param=basin_param)
+        self._group('fixed_hmm', ['torus_dbn'],
+                    index=np.arange(self.n_res - 2),
+                    transition_energy=transition_energy)
+        return self
 
     # -- rigid-frame machinery (upside_config.py:149-185, 795-812) ---------
 
@@ -496,6 +525,203 @@ class ConfigBuilder:
                     interaction_param=iparam)
         return self
 
+    def add_z_flat_bottom(self, entries):
+        """entries: list of (residue, z0, radius, spring_constant); the
+        restraint acts on each residue's CA atom (upside_config.py:46-79)."""
+        entries = np.asarray(entries, np.float64)
+        self._group('z_flat_bottom', ['pos'],
+                    atom=(entries[:, 0].astype(np.int32) * 3 + 1),
+                    z0=entries[:, 1], radius=entries[:, 2],
+                    spring_constant=entries[:, 3])
+        return self
+
+    def add_tension(self, entries):
+        """entries: list of (residue, tx, ty, tz) pulls on CA atoms."""
+        entries = np.asarray(entries, np.float64)
+        self._group('tension', ['pos'],
+                    atom=(entries[:, 0].astype(np.int32) * 3 + 1),
+                    tension_coeff=entries[:, 1:4])
+        return self
+
+    def add_afm(self, entries, time_initial=0.0, time_step=0.009):
+        """entries: (residue, spring_const, tip_xyz(3), pulling_vel(3))."""
+        entries = np.asarray(entries, np.float64)
+        g = self._group('AFM', ['pos'],
+                        atom=(entries[:, 0].astype(np.int32) * 3 + 1),
+                        spring_const=entries[:, 1],
+                        starting_tip_pos=entries[:, 2:5],
+                        pulling_vel=entries[:, 5:8])
+        g['attrs']['pulling_vel:time_initial'] = float(time_initial)
+        g['attrs']['pulling_vel:time_step'] = float(time_step)
+        return self
+
+    def add_restraint_group(self, residues, strength=4.0, group_num=0):
+        """Random-pairing distance restraints within a residue group,
+        with equilibrium distances from the initial structure
+        (upside_config.py:383-411; same deterministic seed)."""
+        if 'dist_spring' not in self.groups:
+            raise ValueError('add_backbone_springs must run first')
+        np.random.seed(314159)
+        ds = self.groups['dist_spring']['datasets']
+        r_atoms = np.array([(3 * i, 3 * i + 1, 3 * i + 2)
+                            for i in sorted(residues)]).reshape(-1)
+        pairs = np.concatenate(
+            [np.column_stack([r_atoms, np.random.permutation(r_atoms)])
+             for _ in range(2)], axis=0)
+        pairs = [((x, y) if x < y else (y, x)) for x, y in pairs
+                 if x // 3 != y // 3]
+        pairs = np.array(sorted(set(pairs)))
+        dists = np.linalg.norm(self.pos[pairs[:, 0]] - self.pos[pairs[:, 1]],
+                               axis=-1)
+        ds['id'] = np.concatenate([ds['id'], pairs])
+        ds['equil_dist'] = np.concatenate([ds['equil_dist'], dists])
+        ds['spring_const'] = np.concatenate(
+            [ds['spring_const'], np.full(len(pairs), strength)])
+        ds['bonded_atoms'] = np.concatenate(
+            [ds['bonded_atoms'], np.zeros(len(pairs), np.int32)])
+        return self
+
+    def add_membrane_potential(self, membrane_library, membrane_thickness,
+                               membrane_exclude_residues=(),
+                               hbond_exclude_residues=()):
+        """Membrane z-profile potential, rescaled to the requested
+        thickness exactly as the reference does
+        (upside_config.py:1038-1149)."""
+        import scipy.interpolate
+
+        with h5py.File(membrane_library, 'r') as lib:
+            resnames = [b.decode() if isinstance(b, bytes) else str(b)
+                        for b in lib['names']]
+            cb_energy = np.asarray(lib['cb_energy'])
+            cb_z_min = float(lib['cb_energy'].attrs['z_min'])
+            cb_z_max = float(lib['cb_energy'].attrs['z_max'])
+            thickness = float(lib['cb_energy'].attrs['thickness'])
+            uhb_energy = np.asarray(lib['uhb_energy'])
+            uhb_z_min = float(lib['uhb_energy'].attrs['z_min'])
+            uhb_z_max = float(lib['uhb_energy'].attrs['z_max'])
+            cov_midpoint = np.asarray(lib['cov_midpoint'])
+            cov_sharpness = np.asarray(lib['cov_sharpness'])
+
+        def extrapolated_spline(x0, y0):
+            spline = scipy.interpolate.InterpolatedUnivariateSpline(x0, y0)
+
+            def f(x):
+                return np.select(
+                    [x < x0[0], x > x0[-1], np.ones_like(x, bool)],
+                    [np.zeros_like(x) + y0[0], np.zeros_like(x) + y0[-1],
+                     spline(x)])
+            return f
+
+        def rescale(energies, z_lib):
+            splines = [extrapolated_spline(z_lib, e) for e in energies]
+            ht, dht = membrane_thickness / 2.0, thickness / 2.0
+            z = np.linspace(-ht - 15.0, ht + 15.0,
+                            int((membrane_thickness + 30.0) / 0.25) + 1)
+            out = np.zeros((len(splines), len(z)))
+            for i, spl in enumerate(splines):
+                if ht < dht:
+                    dt = dht - ht
+                    dsym = spl(dt) - spl(-dt)
+                    out[i] = np.select([z < 0, z >= 0],
+                                       [spl(z - dt) + 0.5 * dsym,
+                                        spl(z + dt) - 0.5 * dsym])
+                elif ht > dht:
+                    dt = ht - dht
+                    out[i] = np.select(
+                        [z < -dt, (z >= -dt) & (z <= dt), z > dt],
+                        [spl(z + dt), spl(np.zeros_like(z)), spl(z - dt)])
+                else:
+                    out[i] = spl(z)
+            return out, z
+
+        cb_z_lib = np.linspace(cb_z_min, cb_z_max, cb_energy.shape[-1])
+        uhb_z_lib = np.linspace(uhb_z_min, uhb_z_max, uhb_energy.shape[-1])
+        cb_out, z = rescale(cb_energy, cb_z_lib)
+        uhb_out, _ = rescale(uhb_energy, uhb_z_lib)
+
+        n_res = self.n_res
+        hbx = set(int(x) for x in hbond_exclude_residues)
+        donor_ids = np.array([i for i in range(n_res)
+                              if i > 0 and i not in hbx
+                              and self.fasta[i] != 'PRO'])
+        acceptor_ids = np.array([i for i in range(n_res)
+                                 if i < n_res - 1 and i not in hbx])
+
+        sequence = list(self.fasta)
+        for num in membrane_exclude_residues:
+            sequence[int(num)] = 'NON'
+        rnum = {aa: i for i, aa in enumerate(resnames)}
+        self.require_backbone_point = True
+        g = self._group('membrane_potential',
+                        ['placement_fixed_point_only_CB',
+                         'environment_coverage', 'protein_hbond'],
+                        cb_index=np.arange(n_res),
+                        env_index=np.arange(n_res),
+                        residue_type=np.array([rnum[s] for s in sequence],
+                                              np.int32),
+                        cov_midpoint=cov_midpoint,
+                        cov_sharpness=cov_sharpness,
+                        cb_energy=cb_out, uhb_energy=uhb_out,
+                        donor_residue_ids=donor_ids,
+                        acceptor_residue_ids=acceptor_ids)
+        g['attrs']['cb_energy:z_min'] = z[0]
+        g['attrs']['cb_energy:z_max'] = z[-1]
+        g['attrs']['uhb_energy:z_min'] = z[0]
+        g['attrs']['uhb_energy:z_max'] = z[-1]
+        return self
+
+    def add_chain_breaks(self, chain_first_residue, rl_chains=None,
+                         jump_length_scale=5.0, jump_rotation_scale=30.0):
+        """Multichain setup: remove bonded terms that cross chain breaks,
+        cut terminal Rama angles at the breaks, and add rigid-chain jump
+        moves.  (The reference implements this as a config post-processing
+        tool, py/ugly_hack_break_chain.py; the hbond exclusion near breaks
+        must still be passed to add_hbond as exclude_residues.)"""
+        chain_first_residue = [int(x) for x in chain_first_residue]
+        starts = np.array([0] + chain_first_residue) * 3
+        n_chains = len(starts)
+        self.extra_input['chain_break'] = {
+            'chain_first_residue': np.asarray(chain_first_residue, np.int32)}
+        if rl_chains is not None:
+            self.extra_input['chain_break']['rl_chains'] = \
+                np.asarray(rl_chains, np.int32)
+
+        def chain_of(ids):
+            return (np.asarray(ids)[..., None] >= starts[None, :]).sum(-1)
+
+        def multichain_rows(ids):
+            c = chain_of(ids)
+            return np.array([len(set(row)) > 1 for row in c])
+
+        for name in ('dist_spring', 'angle_spring', 'dihedral_spring'):
+            if name not in self.groups:
+                continue
+            ds = self.groups[name]['datasets']
+            bad = multichain_rows(ds['id'])
+            if name == 'dist_spring':
+                bad = bad & ds['bonded_atoms'].astype(bool)
+            keep = ~bad
+            for k in list(ds):
+                ds[k] = ds[k][keep]
+
+        # jump moves: one rigid body per chain (or receptor/ligand groups)
+        ends = np.append(starts, self.n_atom)
+        if rl_chains is None:
+            atom_range = np.array([[ends[i], ends[i + 1]]
+                                   for i in range(n_chains)], np.int32)
+        else:
+            atom_range = np.array(
+                [[ends[0], ends[rl_chains[0]]],
+                 [ends[rl_chains[0]], ends[-1]]], np.int32)
+        self.extra_input['jump_moves'] = {
+            'atom_range': atom_range,
+            'sigma_trans': np.full(len(atom_range), jump_length_scale,
+                                   np.float32),
+            'sigma_rot': np.full(len(atom_range),
+                                 jump_rotation_scale * deg, np.float32)}
+        self._chain_starts = starts
+        return self
+
     def finalize(self):
         if self.require_backbone_point:
             self.require_affine = True
@@ -620,6 +846,29 @@ def read_weighted_maps(seq, rama_library_h5, sheet_mixing=None,
     return mixture_potential(
         [coil_weights, sheet_weights * np.exp(-sheet_mixing)],
         [coil_pots, sheet_pots])
+
+
+def apply_secstr_bias(rama_pot, entries):
+    """Secondary-structure bias via Rama-basin energies
+    (upside_config.py:705-725).  entries: (residue, 'helix'|'sheet',
+    energy)."""
+    rama_pot = np.array(rama_pot, np.float64)
+    phi = np.linspace(-np.pi, np.pi, rama_pot.shape[1],
+                      endpoint=False)[:, None]
+    psi = np.linspace(-np.pi, np.pi, rama_pot.shape[2],
+                      endpoint=False)[None, :]
+
+    def sig_lt(a, b):
+        return 1.0 / (1.0 + np.exp(-(b - a) / (10.0 * deg)))
+
+    helical = sig_lt(phi, 0.0) * sig_lt(-100.0 * deg, psi) * \
+        sig_lt(psi, 50.0 * deg)
+    sheet = sig_lt(phi, 0.0) * (sig_lt(psi, -100.0 * deg) +
+                                sig_lt(50.0 * deg, psi))
+    for residue, secstr, energy in entries:
+        basin = {'helix': helical, 'sheet': sheet}[secstr]
+        rama_pot[int(residue)] += float(energy) * basin
+    return rama_pot
 
 
 def uniform_rama_maps_from_reference(n_res, pickle_path):
