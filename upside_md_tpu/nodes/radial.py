@@ -33,7 +33,9 @@ def _radial_energy(p, x1, x2, mask):
     n_knot = p.shape[-1] - 1
     cutoff = (n_knot - 2 - 1e-6) / inv_dx
     m = mask & (dist2 < cutoff * cutoff)
-    en, _ = eval_clamped_bspline(p[..., 1:], dist_coord)
+    from ..ops.spline import bspline_window_weights
+    W = bspline_window_weights(dist_coord, n_knot, clamped=True)
+    en = jnp.sum(W * p[..., 1:], -1)
     return jnp.where(m, en, 0.0)
 
 

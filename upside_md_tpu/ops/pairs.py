@@ -10,9 +10,10 @@ become boolean masks over id arrays.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from .spline import eval_bspline, eval_clamped_bspline
+from .spline import bspline_window_weights, eval_bspline, eval_clamped_bspline
 
 
 def sequence_exclusion_mask(id1, id2, min_sep):
@@ -45,8 +46,15 @@ def safe_inv_dist(dist2, eps=0.0, mask=None):
 
 
 def gather_pair_params(table, type1, type2):
-    """table: (n_type1, n_type2, n_param) -> per-pair params (n1,n2,n_param)."""
-    return table[type1[:, None], type2[None, :]]
+    """table: (n_type1, n_type2, n_param) -> per-pair params (n1,n2,n_param).
+
+    Built with one-hot matmuls instead of a gather so the MXU does the work
+    and XLA can hoist it out of MD loops (it depends only on parameters,
+    never on positions)."""
+    oh1 = jax.nn.one_hot(type1, table.shape[0], dtype=table.dtype)
+    oh2 = jax.nn.one_hot(type2, table.shape[1], dtype=table.dtype)
+    jam = jnp.einsum('jb,abm->jam', oh2, table)
+    return jnp.einsum('ia,jam->ijm', oh1, jam)
 
 
 def quadspline_family(n_param):
@@ -87,10 +95,18 @@ def quadspline_coverage(p, pos1, dir1, pos2, dir2,
     cos2 = -jnp.sum(dir2[None, :, :] * u, -1)
     inv_dtheta = (ka - 3) / 2.0
 
-    a1, _ = eval_bspline(p[..., 0:ka], (cos1 + 1.0) * inv_dtheta + 1.0)
-    a2, _ = eval_bspline(p[..., ka:2 * ka], (cos2 + 1.0) * inv_dtheta + 1.0)
-    wide, _ = eval_clamped_bspline(p[..., 2 * ka:2 * ka + k], dist_coord)
-    narrow, _ = eval_clamped_bspline(p[..., 2 * ka + k:], dist_coord)
+    # gather-free spline evaluation: dense window weights over the whole
+    # 62-ish knot axis, contracted against the (position-independent)
+    # per-pair parameter rows — all VPU-lane work, no scalar gathers
+    Wa1 = bspline_window_weights((cos1 + 1.0) * inv_dtheta + 1.0, ka, False)
+    Wa2 = bspline_window_weights((cos2 + 1.0) * inv_dtheta + 1.0, ka, False)
+    Wd = bspline_window_weights(dist_coord, k, True)
+    W = jnp.concatenate([Wa1, Wa2, Wd, Wd], axis=-1)   # (n1,n2,2ka+2k)
+    seg = W * p
+    a1 = jnp.sum(seg[..., 0:ka], -1)
+    a2 = jnp.sum(seg[..., ka:2 * ka], -1)
+    wide = jnp.sum(seg[..., 2 * ka:2 * ka + k], -1)
+    narrow = jnp.sum(seg[..., 2 * ka + k:], -1)
 
     cov = wide + a1 * a2 * narrow
     return jnp.where(mask, cov, 0.0)

@@ -105,6 +105,44 @@ def eval_clamped_bspline(coeffs, x):
     return val, der
 
 
+def bspline_window_weights(x, n_knot, clamped=True):
+    """Dense window-weight vector W (..., n_knot) with value = sum_m W_m c_m.
+
+    A TPU-native reformulation of the 4-coefficient de Boor window: instead
+    of gathering coefficients at data-dependent indices (scalar gathers are
+    catastrophically slow on TPU), build the weight of EVERY knot densely —
+    exactly 4 of the n_knot weights are nonzero — and contract.  The knot
+    axis rides the VPU lanes, so per-pair spline evaluation becomes a fused
+    multiply-reduce with zero gathers.
+
+    For clamped splines the boundary weights are the constant
+    (1/6, 2/3, 1/6) stencils of the end values, which autodiffs to the
+    reference's zero boundary derivative for free.
+    """
+    i, t = _window_indices(x, n_knot)
+    w = bspline_weights(t)                      # (..., 4)
+    m = jnp.arange(n_knot, dtype=jnp.int32)
+    rel = m - i[..., None]                      # (..., n_knot)
+    W = (jnp.where(rel == -1, w[..., 0:1], 0.0)
+         + jnp.where(rel == 0, w[..., 1:2], 0.0)
+         + jnp.where(rel == 1, w[..., 2:3], 0.0)
+         + jnp.where(rel == 2, w[..., 3:4], 0.0))
+    if clamped:
+        sixth = jnp.asarray([1 / 6, 4 / 6, 1 / 6], W.dtype)
+        left = jnp.zeros((n_knot,), W.dtype).at[:3].set(sixth)
+        right = jnp.zeros((n_knot,), W.dtype).at[-3:].set(sixth)
+        too_small = (x <= 1.0)[..., None]
+        too_big = (x >= n_knot - 2.0)[..., None]
+        W = jnp.where(too_small, left, jnp.where(too_big, right, W))
+    return W
+
+
+def eval_bspline_dense(coeffs, x, clamped=True):
+    """Gather-free spline evaluation: sum_m W_m(x) * coeffs[..., m]."""
+    W = bspline_window_weights(x, coeffs.shape[-1], clamped)
+    return jnp.sum(W * coeffs, axis=-1)
+
+
 def eval_periodic_bspline_2d(coeffs, x, y):
     """Periodic bicubic B-spline surface evaluation.
 
