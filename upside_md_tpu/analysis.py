@@ -76,6 +76,51 @@ def diagnose_traj(path, ke_sigma=4.0):
             "hot_frames": hot.tolist()}
 
 
+def profile_nodes(system, params, pos, reps=20, include_grad=False):
+    """Per-node wall time, the reference's COLLECT_PROFILE report
+    (src/timing.cpp:11-53): each node's compute is jitted in isolation
+    with its real inputs and timed; first invocation (compile) excluded.
+
+    Returns a list of (name, microseconds, percent) sorted by cost."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    pos = jnp.asarray(pos)
+    _, outputs, _ = system.evaluate(pos, params)
+    rows = []
+    for s in system.specs:
+        inputs = [outputs[a] for a in s.args]
+        p = params.get(s.name, {})
+
+        def f(inputs, p, s=s):
+            out = s.node_type.compute(s.consts, p, inputs, {})
+            if include_grad and not s.node_type.is_potential:
+                return out
+            return out
+
+        fj = jax.jit(f)
+        y = fj(inputs, p)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fj(inputs, p)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / reps
+        rows.append([s.name, dt * 1e6])
+    total = sum(r[1] for r in rows)
+    rows = [(name, us, 100.0 * us / max(total, 1e-12))
+            for name, us in rows]
+    return sorted(rows, key=lambda r: -r[1])
+
+
+def print_profile_report(rows):
+    print(f"{'node':40s} {'us/call':>10s} {'%':>6s}")
+    for name, us, pct in rows:
+        print(f"{name:40s} {us:10.1f} {pct:6.1f}")
+
+
 def energy_blame(system, params, pos) -> Dict[str, float]:
     """Per-term energy attribution at one configuration
     (py/energy_blame.py)."""

@@ -107,16 +107,48 @@ class Upside:
         return _flatten_node_params(grads)
 
     def get_value_by_name(self, node_name, log_name):
-        """Diagnostics channel (subset of the reference's)."""
-        from .nodes.rotamer import rotamer_marginals
+        """Diagnostics channel (reference: DerivComputation::get_value_by_name,
+        rotamer.cpp:675-773, hbond.cpp:406-412)."""
+        from .nodes.rotamer import rotamer_1body_energy, rotamer_diagnostics
         spec = self.system.by_name[node_name]
+        _, outputs, _ = self.system.evaluate(self._pos, self.params)
         if spec.node_type.name == "rotamer":
-            _, outputs, _ = self.system.evaluate(self._pos, self.params)
             inputs = [outputs[a] for a in spec.args]
-            nb, bead_marg = rotamer_marginals(
-                spec.consts, self.params[node_name], inputs)
-            if log_name == "node_marginal":
-                return np.asarray(nb)
-            if log_name == "bead_marginal":
-                return np.asarray(bead_marg)
+            if log_name.startswith("rotamer_1body_energy"):
+                idx = int(log_name[len("rotamer_1body_energy"):] or 0)
+                return np.asarray(rotamer_1body_energy(
+                    spec.consts, self.params[node_name], inputs, idx))
+            diag = rotamer_diagnostics(spec.consts, self.params[node_name],
+                                       inputs)
+            aliases = {"edge_marginal_in_graph_order": "edge_marginal",
+                       "n_node": None}
+            key = aliases.get(log_name, log_name)
+            if log_name == "n_node":
+                return np.array([float(spec.consts["n_res"])])
+            if key in diag:
+                return np.asarray(diag[key])
+        if log_name == "count_edges_by_type":
+            return self._count_edges_by_type(spec, outputs)
         raise ValueError(f"value {log_name} not implemented for {node_name}")
+
+    def _count_edges_by_type(self, spec, outputs):
+        """Edge counts per type pair (interaction_graph.h:427-441)."""
+        import jax.numpy as jnp
+        c = spec.consts
+        if spec.node_type.name == "rotamer":
+            table = self.params[spec.name]["interaction_param"]
+            x = outputs[spec.args[0]][c["index"], 0:3]
+            from .ops.pairs import quadspline_family
+            _, k, dx = quadspline_family(table.shape[-1])
+            d2 = jnp.sum((x[:, None] - x[None, :]) ** 2, -1)
+            cutoff = (k - 2 - 1e-6) * dx
+            tri = np.triu(np.ones((x.shape[0],) * 2, bool), 1)
+            mask = np.asarray(d2 < cutoff * cutoff) & tri & \
+                (c["res"][:, None] != c["res"][None, :])
+            t = c["type"]
+            n_type = table.shape[0]
+            out = np.zeros((n_type, n_type))
+            np.add.at(out, (t[np.asarray(mask).nonzero()[0]],
+                            t[np.asarray(mask).nonzero()[1]]), 1)
+            return out.ravel()
+        raise ValueError("count_edges_by_type only implemented for rotamer")

@@ -240,6 +240,57 @@ def make_rotamer_consts(packed_ids, index, types, damping, max_iter, tol):
     }
 
 
+def rotamer_diagnostics(consts, params, inputs):
+    """Diagnostics matching the reference's get_value_by_name channels
+    (rotamer.cpp:675-773): per-residue free energies, 1-body energies,
+    node/edge energies and marginals."""
+    E1, offset, prob, P, adj, valid = assemble_rotamer_energies(
+        consts, params, inputs)
+    nb, eb = _bp_solve(prob, P, adj, valid, consts["damping"],
+                       consts["max_iter"], consts["tol"])
+
+    pr = jnp.where(valid, jnp.exp(offset[:, None] - E1), 0.0)
+    node_en = offset + jnp.sum(
+        jnp.where(valid, nb * jnp.log((EPS + nb) / (EPS + pr)), 0.0), -1)
+
+    bc1 = nb[:, None, :] / (EPS + eb)
+    bc2 = jnp.swapaxes(bc1, 0, 1)
+    m_raw = P * bc1[:, :, :, None] * bc2[:, :, None, :]
+    m = m_raw / jnp.maximum(jnp.sum(m_raw, (-1, -2), keepdims=True), EPS)
+    pbb = P * nb[:, None, :, None] * nb[None, :, None, :]
+    pair_valid = valid[:, None, :, None] & valid[None, :, None, :]
+    edge_en = jnp.sum(jnp.where(pair_valid,
+                                m * jnp.log((EPS + m) / (EPS + pbb)), 0.0),
+                      (-1, -2))
+    edge_en = jnp.where(adj, edge_en, 0.0)
+
+    residue_fe = node_en + 0.5 * jnp.sum(edge_en, axis=1)
+    bead_marg = nb.reshape(-1)[consts["res"] * MAX_ROT + consts["rot"]]
+    return {
+        "node_marginal": nb,
+        "edge_marginal": jnp.where(adj[:, :, None, None], m, 0.0),
+        "node_energy": jnp.where(valid, E1, 1e5),
+        "edge_energy": -jnp.log(jnp.where(adj[:, :, None, None], P, 1.0)),
+        "node_free_energy": node_en,
+        "edge_free_energy": edge_en,
+        "rotamer_free_energy": residue_fe,
+        "bead_marginal": bead_marg,
+        "adjacency": adj,
+    }
+
+
+def rotamer_1body_energy(consts, params, inputs, prob_node_index):
+    """Marginal-weighted 1-body energy per residue for one prob node
+    (rotamer.cpp:904-926)."""
+    diag = rotamer_diagnostics(consts, params, inputs)
+    nb = diag["node_marginal"]
+    idx = consts["index"]
+    e_bead = inputs[1 + prob_node_index][idx, 0]
+    w = nb.reshape(-1)[consts["res"] * MAX_ROT + consts["rot"]]
+    onehot_res = jnp.asarray(consts["onehot_res"], e_bead.dtype)
+    return (w * e_bead) @ onehot_res
+
+
 def rotamer_marginals(consts, params, inputs):
     """Posterior node marginals per bead (for chi1 prediction diagnostics).
 

@@ -96,3 +96,36 @@ class System:
 
 def build_system(n_atom: int, specs: List[NodeSpec]) -> System:
     return System(n_atom, specs)
+
+
+def freeze_static_nodes(system: System, params):
+    """Constant-fold coordinate nodes that do not depend on `pos`
+    (reference upside_engine.freeze_nodes, py/upside_engine.py:251-277).
+
+    Returns (frozen_system, frozen_params).  Under jit XLA constant-folds
+    these anyway; this utility exists for API parity and for shrinking
+    graphs before compilation."""
+    from .nodes.base import resolve_node_type
+
+    depends = {"pos"}
+    for s in system.specs:
+        if any(a in depends for a in s.args):
+            depends.add(s.name)
+
+    zero_pos = jnp.zeros((system.n_atom, 3), jnp.float32)
+    _, outputs, _ = system.evaluate(zero_pos, params)
+
+    new_specs = []
+    new_params = {}
+    for s in system.specs:
+        if s.name in depends or s.node_type.is_potential:
+            new_specs.append(s)
+            if s.name in params:
+                new_params[s.name] = params[s.name]
+        else:
+            frozen_value = {"value": jnp.asarray(outputs[s.name])}
+            new_specs.append(NodeSpec(
+                name=s.name, node_type=resolve_node_type("constant"),
+                args=[], consts={}, params=frozen_value))
+            new_params[s.name] = frozen_value
+    return System(system.n_atom, new_specs), new_params
