@@ -1,0 +1,44 @@
+"""chi1 prediction pipeline end-to-end (BASELINE config 5 capability)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from upside_md_tpu.chi1 import Chi1Predict, predict_chi1_from_pdb
+from upside_md_tpu.config.builder import random_initial_config
+
+from test_io import synthetic_pdb
+
+SIDECHAIN = '/root/reference/parameters/ff_1/sidechain.h5'
+needs_params = pytest.mark.skipif(not os.path.exists(SIDECHAIN),
+                                  reason='reference parameters not mounted')
+
+SEQ3 = ['MET', 'LYS', 'VAL', 'LEU', 'PHE', 'GLU', 'GLY', 'ALA', 'ARG',
+        'THR', 'ILE', 'SER']
+
+
+@needs_params
+def test_chi1_predictor_partition():
+    pred = Chi1Predict(SIDECHAIN)
+    # every non-ALA/GLY restype has its rotamer states partitioned into
+    # 3 chi1 bins covering all states
+    for aa, parts in pred.chi1_partition.items():
+        states = sorted(int(s) for p in parts for s in p)
+        assert states == sorted(set(states))
+
+
+@needs_params
+def test_chi1_from_pdb_pipeline():
+    coords = random_initial_config(len(SEQ3), seed=4)
+    pdb = synthetic_pdb(SEQ3, coords)
+    chi1_prob, info, elapsed = predict_chi1_from_pdb(pdb, SIDECHAIN)
+    assert chi1_prob.shape == (len(SEQ3), 3)
+    assert np.all(np.isfinite(chi1_prob))
+    # ALA/GLY get deterministic state 0
+    for i, aa in enumerate(SEQ3):
+        if aa in ('ALA', 'GLY'):
+            np.testing.assert_allclose(chi1_prob[i], [1, 0, 0])
+        else:
+            # probabilities over chi1 bins sum to ~1
+            assert abs(chi1_prob[i].sum() - 1.0) < 2e-2, (i, aa, chi1_prob[i])

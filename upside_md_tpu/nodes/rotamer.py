@@ -214,10 +214,16 @@ rotamer = register_node("rotamer", True, _rotamer,
 
 
 def make_rotamer_consts(packed_ids, index, types, damping, max_iter, tol):
-    """Build the static scatter/mask structures from packed bead ids."""
+    """Build the static scatter/mask structures from packed bead ids.
+
+    NOTE: the packed residue field is a counter *within* each
+    rotamer-count class (upside_config.py:973-983 count_by_n_rot), so the
+    BP node key is the (n_rot, count) pair — two residues in different
+    classes share count values."""
     rot, n_rot, res = decode_bead_ids(packed_ids)
-    # residues must be 0..n_res-1; remap defensively
-    uniq, res_c = np.unique(res, return_inverse=True)
+    key = res.astype(np.int64) * (1 << 4) + n_rot
+    uniq, res_c = np.unique(key, return_inverse=True)
+    res_c = res_c.astype(np.int32)
     n_res = len(uniq)
     n_rot_per_res = np.zeros(n_res, np.int32)
     n_rot_per_res[res_c] = n_rot

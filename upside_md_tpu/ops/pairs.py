@@ -95,18 +95,19 @@ def quadspline_coverage(p, pos1, dir1, pos2, dir2,
     cos2 = -jnp.sum(dir2[None, :, :] * u, -1)
     inv_dtheta = (ka - 3) / 2.0
 
-    # gather-free spline evaluation: dense window weights over the whole
-    # 62-ish knot axis, contracted against the (position-independent)
-    # per-pair parameter rows — all VPU-lane work, no scalar gathers
-    Wa1 = bspline_window_weights((cos1 + 1.0) * inv_dtheta + 1.0, ka, False)
-    Wa2 = bspline_window_weights((cos2 + 1.0) * inv_dtheta + 1.0, ka, False)
-    Wd = bspline_window_weights(dist_coord, k, True)
-    W = jnp.concatenate([Wa1, Wa2, Wd, Wd], axis=-1)   # (n1,n2,2ka+2k)
-    seg = W * p
-    a1 = jnp.sum(seg[..., 0:ka], -1)
-    a2 = jnp.sum(seg[..., ka:2 * ka], -1)
-    wide = jnp.sum(seg[..., 2 * ka:2 * ka + k], -1)
-    narrow = jnp.sum(seg[..., 2 * ka + k:], -1)
+    # gather-free spline evaluation: dense window weights over the knot
+    # axis, contracted against the (position-independent) per-pair
+    # parameter rows — all VPU-lane work, no scalar gathers.  Each segment
+    # is its own multiply-reduce so XLA fuses the weight construction into
+    # the reduction loop instead of materializing (n1,n2,n_param) tensors.
+    def seg_eval(x, lo, hi, clamped):
+        W = bspline_window_weights(x, hi - lo, clamped)
+        return jnp.sum(W * p[..., lo:hi], -1)
+
+    a1 = seg_eval((cos1 + 1.0) * inv_dtheta + 1.0, 0, ka, False)
+    a2 = seg_eval((cos2 + 1.0) * inv_dtheta + 1.0, ka, 2 * ka, False)
+    wide = seg_eval(dist_coord, 2 * ka, 2 * ka + k, True)
+    narrow = seg_eval(dist_coord, 2 * ka + k, 2 * ka + 2 * k, True)
 
     cov = wide + a1 * a2 * narrow
     return jnp.where(mask, cov, 0.0)
