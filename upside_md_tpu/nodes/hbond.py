@@ -20,8 +20,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pairs import (gather_pair_params, quadspline_coverage,
-                         quadspline_family, sequence_exclusion_mask)
+                         quadspline_coverage_nl, quadspline_family,
+                         sequence_exclusion_mask)
 from .base import register_node
+
+COVERAGE_NEIGHBOR_K = 96  # fixed neighbor-list width for coverage kernels
 
 RADIAL_CUTOFF2 = 3.5 * 3.5  # hbond.cpp:124
 
@@ -118,17 +121,28 @@ def _hbond_coverage(consts, params, inputs, extra):
     sc = inputs[1][consts["index2"]]          # (n2, >=6): pos, dir
     table = params["interaction_param"]
     ka, k, dx = quadspline_family(table.shape[-1])
-    p = gather_pair_params(table, consts["type1"], consts["type2"])
+    base_mask = sequence_exclusion_mask(consts["id1"], consts["id2"], 2)
+    n2 = sc.shape[0]
+    prefactor = (1.0 - hb_nodes[:, 6]) ** 2    # (n1,)
 
+    if n2 > COVERAGE_NEIGHBOR_K:
+        cov, idx, nmask = quadspline_coverage_nl(
+            table, consts["type1"], consts["type2"],
+            hb_nodes[:, 0:3], hb_nodes[:, 3:6], sc[:, 0:3], sc[:, 3:6],
+            ka, k, 1.0 / dx, base_mask, COVERAGE_NEIGHBOR_K)
+        val = prefactor[:, None] * cov          # (n1, K)
+        safe_idx = jnp.where(nmask, idx, n2)
+        out = jnp.zeros((n2 + 1,), val.dtype).at[safe_idx.reshape(-1)].add(
+            jnp.where(nmask, val, 0.0).reshape(-1), mode='drop')[:n2]
+        return out[:, None]
+
+    p = gather_pair_params(table, consts["type1"], consts["type2"])
     disp = sc[None, :, 0:3] - hb_nodes[:, None, 0:3]
     dist2 = jnp.sum(disp * disp, -1)
     cutoff = (k - 2 - 1e-6) * dx
-    mask = sequence_exclusion_mask(consts["id1"], consts["id2"], 2) & \
-        (dist2 < cutoff * cutoff)
-
+    mask = base_mask & (dist2 < cutoff * cutoff)
     cov = quadspline_coverage(p, hb_nodes[:, 0:3], hb_nodes[:, 3:6],
                               sc[:, 0:3], sc[:, 3:6], ka, k, 1.0 / dx, mask)
-    prefactor = (1.0 - hb_nodes[:, 6]) ** 2    # (n1,)
     val = prefactor[:, None] * cov              # (n1, n2)
     return jnp.sum(val, axis=0)[:, None]        # per-sidechain coverage
 

@@ -30,11 +30,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pairs import (gather_pair_params, quadspline_coverage,
-                         quadspline_family)
+                         quadspline_coverage_nl, quadspline_family,
+                         scatter_rows)
 from .base import register_node
 
 MAX_ROT = 6
 EPS = 1e-10
+# beads beyond this count switch the pair kernel to a fixed-K neighbor
+# list; K must exceed the worst-case in-cutoff partner count
+NEIGHBOR_LIST_THRESHOLD = 160
+NEIGHBOR_K = 128
 
 
 def decode_bead_ids(packed_ids, n_bit_rotamer=4):
@@ -162,20 +167,29 @@ def assemble_rotamer_energies(consts, params, inputs):
     # ---- bead-pair energies -> residue-pair 6x6 Boltzmann blocks --------
     table = params["interaction_param"]
     ka, k, dx = quadspline_family(table.shape[-1])
-    p = gather_pair_params(table, consts["type"], consts["type"])
 
-    disp = x[None, :, 0:3] - x[:, None, 0:3]
-    dist2 = jnp.sum(disp * disp, -1)
-    cutoff = (k - 2 - 1e-6) * dx
     n_bead = x.shape[0]
+    cutoff = (k - 2 - 1e-6) * dx
     # count each unordered bead pair exactly once (reference pairlist
     # builds b1<b2 edges); the residue-block tensor is then symmetrized
     triangle = jnp.arange(n_bead)[:, None] < jnp.arange(n_bead)[None, :]
-    pair_mask = triangle & (res[:, None] != res[None, :]) & \
-        (dist2 < cutoff * cutoff)
-    E_pair = quadspline_coverage(p, x[:, 0:3], x[:, 3:6],
-                                 x[:, 0:3], x[:, 3:6], ka, k, 1.0 / dx,
-                                 pair_mask)
+    base_mask = triangle & (res[:, None] != res[None, :])
+    if n_bead > NEIGHBOR_LIST_THRESHOLD:
+        cov, idx, nmask = quadspline_coverage_nl(
+            table, consts["type"], consts["type"], x[:, 0:3], x[:, 3:6],
+            x[:, 0:3], x[:, 3:6], ka, k, 1.0 / dx, base_mask,
+            min(n_bead, NEIGHBOR_K))
+        E_pair = scatter_rows(cov, idx, nmask, n_bead)
+        pair_mask = scatter_rows(jnp.where(nmask, 1.0, 0.0), idx, nmask,
+                                 n_bead) > 0
+    else:
+        disp = x[None, :, 0:3] - x[:, None, 0:3]
+        dist2 = jnp.sum(disp * disp, -1)
+        pair_mask = base_mask & (dist2 < cutoff * cutoff)
+        p = gather_pair_params(table, consts["type"], consts["type"])
+        E_pair = quadspline_coverage(p, x[:, 0:3], x[:, 3:6],
+                                     x[:, 0:3], x[:, 3:6], ka, k, 1.0 / dx,
+                                     pair_mask)
 
     # scatter to (R*6, R*6) with two one-hot matmuls (MXU-friendly)
     E2u = (onehot.T @ E_pair @ onehot).reshape(n_res, MAX_ROT, n_res, MAX_ROT)

@@ -57,6 +57,75 @@ def gather_pair_params(table, type1, type2):
     return jnp.einsum('ia,jam->ijm', oh1, jam)
 
 
+def neighbor_list(pos1, pos2, cutoff2, base_mask, K):
+    """Fixed-K nearest-neighbor list over a masked pair grid.
+
+    The TPU replacement for the reference's cached Verlet list
+    (interaction_graph.h:31-258): rebuilt every evaluation (no cache
+    invalidation state), fixed shapes, exact as long as no row has more
+    than K in-cutoff partners — overflow drops the *farthest* partners,
+    whose kernel values are smallest.
+
+    Returns (idx (n1,K) int32, mask (n1,K) bool).
+    """
+    disp = pos2[None, :, :] - pos1[:, None, :]
+    d2 = jnp.sum(disp * disp, -1)
+    BIG = jnp.asarray(1e30, d2.dtype)
+    score = jnp.where(base_mask & (d2 < cutoff2), d2, BIG)
+    neg, idx = jax.lax.top_k(-score, K)
+    return idx.astype(jnp.int32), (-neg) < BIG
+
+
+def quadspline_coverage_nl(p_table, t1, t2, pos1, dir1, pos2, dir2,
+                           n_knot_angular, n_knot, inv_dx, base_mask, K):
+    """Neighbor-list quadspline: identical values to quadspline_coverage
+    but spline work is O(n1*K) instead of O(n1*n2).
+
+    Returns (values (n1,K), idx (n1,K), mask (n1,K)).
+    """
+    ka, k = n_knot_angular, n_knot
+    cutoff = (k - 2 - 1e-6) / inv_dx
+    idx, mask = neighbor_list(pos1, pos2, cutoff * cutoff, base_mask, K)
+
+    p2 = pos2[idx]                       # (n1,K,3)
+    d2 = dir2[idx]
+    oh1 = jax.nn.one_hot(t1, p_table.shape[0], dtype=p_table.dtype)
+    oh2 = jax.nn.one_hot(t2[idx], p_table.shape[1], dtype=p_table.dtype)
+    iam = jnp.einsum('ia,abm->ibm', oh1, p_table)     # (n1, n_t2, m)
+    p = jnp.einsum('ikb,ibm->ikm', oh2, iam)          # (n1, K, m)
+
+    disp = p2 - pos1[:, None, :]
+    dist2 = jnp.sum(disp * disp, -1)
+    inv_dist = safe_inv_dist(dist2, mask=mask)
+    dist_coord = dist2 * inv_dist * inv_dx
+    u = disp * inv_dist[..., None]
+    cos1 = jnp.sum(dir1[:, None, :] * u, -1)
+    cos2 = -jnp.sum(d2 * u, -1)
+    inv_dtheta = (ka - 3) / 2.0
+
+    def seg_eval(x, lo, hi, clamped):
+        W = bspline_window_weights(x, hi - lo, clamped)
+        return jnp.sum(W * p[..., lo:hi], -1)
+
+    a1 = seg_eval((cos1 + 1.0) * inv_dtheta + 1.0, 0, ka, False)
+    a2 = seg_eval((cos2 + 1.0) * inv_dtheta + 1.0, ka, 2 * ka, False)
+    wide = seg_eval(dist_coord, 2 * ka, 2 * ka + k, True)
+    narrow = seg_eval(dist_coord, 2 * ka + k, 2 * ka + 2 * k, True)
+
+    cov = jnp.where(mask, wide + a1 * a2 * narrow, 0.0)
+    return cov, idx, mask
+
+
+def scatter_rows(values, idx, mask, n2):
+    """Scatter (n1,K) neighbor values back to a dense (n1,n2) grid."""
+    n1, K = values.shape
+    safe_idx = jnp.where(mask, idx, n2)  # out-of-range drops in .at[]
+    dense = jnp.zeros((n1, n2 + 1), values.dtype)
+    dense = dense.at[jnp.arange(n1)[:, None], safe_idx].add(
+        jnp.where(mask, values, 0.0), mode='drop')
+    return dense[:, :n2]
+
+
 def quadspline_family(n_param):
     """Infer (n_knot_angular, n_knot, dx) of a directional-bead spline table
     from its parameter count.  The reference hard-codes these families at
