@@ -83,5 +83,6 @@ def test_rotamer_nl_matches_dense(rng, monkeypatch):
     e_dense = float(sys_.energy(jnp.zeros((1, 3)), params))
     monkeypatch.setattr(rot, 'NEIGHBOR_LIST_THRESHOLD', 1)
     monkeypatch.setattr(rot, 'NEIGHBOR_K', 256)
-    e_nl = float(sys_.energy(jnp.zeros((1, 3)), params))
+    # under jit: numpy consts indexed by traced neighbor ids must work
+    e_nl = float(jax.jit(sys_.energy)(jnp.zeros((1, 3)), params))
     assert abs(e_dense - e_nl) < 1e-6, (e_dense, e_nl)

@@ -16,6 +16,71 @@ import h5py
 import numpy as np
 
 
+def sim_timeseries(path, fields=("time", "potential", "kinetic",
+                                 "temperature")):
+    """Load per-frame scalar streams across the restart chain
+    (py/sim_timeseries.py)."""
+    from .io.trajectory import output_groups
+    out = {}
+    with h5py.File(path, "r") as f:
+        for g in output_groups(f):
+            for k in fields:
+                if k in g:
+                    out.setdefault(k, []).append(
+                        np.asarray(g[k]).reshape(len(g[k]), -1))
+    return {k: np.concatenate(v) for k, v in out.items()}
+
+
+def add_image_points(rama, padding):
+    """Periodic image augmentation for Rama KDE
+    (py/estimate_rama_distributions.py:11-20)."""
+    shifts = np.array([(i * 2 * np.pi, j * 2 * np.pi)
+                       for i in (-1, 0, 1) for j in (-1, 0, 1)])
+    new = np.concatenate([rama + s for s in shifts], axis=0)
+    return new[np.all(np.abs(new) < np.pi + padding, axis=-1)]
+
+
+def rama_density(rama, bandwidth=0.2, padding=80 * np.pi / 180.0,
+                 n_bins=72):
+    """Gaussian-KDE Rama density on the reference 72x72 5-degree grid
+    (py/estimate_rama_distributions.py:23-33)."""
+    pts = add_image_points(np.asarray(rama, np.float64), padding)
+    bins = (-180.0 + np.arange(n_bins) * (360.0 / n_bins)) * np.pi / 180.0
+    gx, gy = np.meshgrid(bins, bins)
+    grid = np.column_stack([gx.ravel(), gy.ravel()])
+    # plain Gaussian KDE (scikit-free)
+    d2 = ((grid[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    dens = np.exp(-0.5 * d2 / bandwidth ** 2).sum(1)
+    dens /= len(pts) * 2 * np.pi * bandwidth ** 2
+    return dens.reshape(n_bins, n_bins)
+
+
+def infer_amide_hydrogens(C, N, CA):
+    """H position from prev-C, N, CA (py/analyze_rdc.py:11-14)."""
+    def vhat(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+    return N - 0.88 * vhat(vhat(CA - N) + vhat(C - N))
+
+
+def rdc(pos):
+    """N-H residual dipolar couplings P2(cos theta) against the inertial
+    principal axes (py/analyze_rdc.py:17-52)."""
+    pos = np.asarray(pos, np.float64)
+    pos = pos - pos.mean(0)
+    N, CA, C = pos[0::3], pos[1::3], pos[2::3]
+    H = infer_amide_hydrogens(C[:-1], N[1:], CA[1:])
+    H_dir = H - N[1:]
+    H_dir /= np.linalg.norm(H_dir, axis=-1, keepdims=True)
+
+    it = np.mean((pos ** 2).sum(-1)) * np.eye(3) - \
+        (pos[:, None, :] * pos[:, :, None]).mean(0)
+    evals, evecs = np.linalg.eigh(it)
+
+    def P2(c):
+        return 1.5 * c ** 2 - 0.5
+    return [(evals[i], P2(H_dir @ evecs[:, i])) for i in range(3)]
+
+
 def attr_overview(path):
     """Readable dump of the config tree (datasets, shapes, attrs)."""
     lines = []

@@ -24,7 +24,8 @@ from ..ops.pairs import (gather_pair_params, quadspline_coverage,
                          sequence_exclusion_mask)
 from .base import register_node
 
-COVERAGE_NEIGHBOR_K = 96  # fixed neighbor-list width for coverage kernels
+COVERAGE_NEIGHBOR_K = 96    # fixed neighbor-list width for coverage kernels
+COVERAGE_NL_THRESHOLD = 1024  # masked-dense is faster below this on v5e
 
 RADIAL_CUTOFF2 = 3.5 * 3.5  # hbond.cpp:124
 
@@ -125,7 +126,7 @@ def _hbond_coverage(consts, params, inputs, extra):
     n2 = sc.shape[0]
     prefactor = (1.0 - hb_nodes[:, 6]) ** 2    # (n1,)
 
-    if n2 > COVERAGE_NEIGHBOR_K:
+    if n2 > COVERAGE_NL_THRESHOLD:
         cov, idx, nmask = quadspline_coverage_nl(
             table, consts["type1"], consts["type2"],
             hb_nodes[:, 0:3], hb_nodes[:, 3:6], sc[:, 0:3], sc[:, 3:6],

@@ -37,8 +37,10 @@ from .base import register_node
 MAX_ROT = 6
 EPS = 1e-10
 # beads beyond this count switch the pair kernel to a fixed-K neighbor
-# list; K must exceed the worst-case in-cutoff partner count
-NEIGHBOR_LIST_THRESHOLD = 160
+# list; K must exceed the worst-case in-cutoff partner count.  Measured on
+# v5e: masked-dense beats the neighbor list below ~1k beads (top_k + row
+# gathers dominate), so the NL only engages for large multi-chain systems.
+NEIGHBOR_LIST_THRESHOLD = 1024
 NEIGHBOR_K = 128
 
 

@@ -87,8 +87,9 @@ def quadspline_coverage_nl(p_table, t1, t2, pos1, dir1, pos2, dir2,
     cutoff = (k - 2 - 1e-6) / inv_dx
     idx, mask = neighbor_list(pos1, pos2, cutoff * cutoff, base_mask, K)
 
-    p2 = pos2[idx]                       # (n1,K,3)
-    d2 = dir2[idx]
+    t2 = jnp.asarray(t2)  # consts may be numpy; indexing needs jnp under jit
+    p2 = jnp.asarray(pos2)[idx]          # (n1,K,3)
+    d2 = jnp.asarray(dir2)[idx]
     oh1 = jax.nn.one_hot(t1, p_table.shape[0], dtype=p_table.dtype)
     oh2 = jax.nn.one_hot(t2[idx], p_table.shape[1], dtype=p_table.dtype)
     iam = jnp.einsum('ia,abm->ibm', oh1, p_table)     # (n1, n_t2, m)

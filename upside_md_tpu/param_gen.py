@@ -1,0 +1,162 @@
+"""Offline parameter-library generation (reference layer L10:
+src/generate_from_rotamer.cpp, src/compute_rotamer_centers.cpp,
+src/compute_rotamer_pos.cpp, py/find_rotamer.py).
+
+These tools build the `sidechain.h5`-style placement libraries consumed by
+the rotamer machinery: per-restype rotamer bead centers in the residue
+frame, per-(phi,psi)-bin rotamer probabilities, and the packed
+start/stop/bead tables.  The reference implements them as separate
+C++/Eigen executables over a preprocessed rotamer-library HDF5; here they
+are NumPy functions over the same data model.
+
+Data model
+  side-chain samples per restype: atom positions in the residue frame
+  (aligned to the reference N/CA/C geometry), a rotamer label per sample,
+  an optional statistical weight, and the sample's backbone (phi, psi).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import h5py
+import numpy as np
+
+from .config.builder import REF_C, REF_CA, REF_N, make_tab_matrices
+
+deg = np.pi / 180.0
+
+
+def residue_frame(N, CA, C):
+    """Rigid transform (R, t) mapping lab coordinates into the reference
+    residue frame (the inverse of affine_alignment's output)."""
+    from .ops.geometry import quat_to_rot, rigid_alignment
+    import jax.numpy as jnp
+
+    ref = np.array([REF_N, REF_CA, REF_C])
+    ref = ref - ref.mean(0)
+    atoms = np.stack([N, CA, C], axis=-2)
+    t, q = rigid_alignment(jnp.asarray(atoms), jnp.asarray(ref))
+    R = np.asarray(quat_to_rot(q))
+    return R, np.asarray(t)
+
+
+def to_residue_frame(points, N, CA, C):
+    """Express lab-frame points in the residue frame."""
+    R, t = residue_frame(N, CA, C)
+    return np.einsum('...ji,...j->...i', R, points - t[..., None, :]
+                     if points.ndim > t.ndim else points - t)
+
+
+def build_sidechain_from_internal(prev_pos, torsions, angles, lengths):
+    """Grow atoms by internal coordinates (torsion, angle, bond length) —
+    the reference's TAB-matrix chain construction
+    (generate_from_rotamer.cpp:15-43, upside_config.py:414-432)."""
+    transforms = make_tab_matrices(np.asarray(torsions),
+                                   np.asarray(angles),
+                                   np.asarray(lengths))
+    curr = np.eye(4)
+    curr[:3, 3] = prev_pos
+    out = []
+    for mat in transforms:
+        curr = curr @ mat
+        out.append(curr[:3, 3].copy())
+    return np.array(out)
+
+
+def kmeans_bead_centers(points, n_beads, n_iter=50, seed=0):
+    """Cluster side-chain atom positions into bead centers
+    (compute_rotamer_centers.cpp's role)."""
+    rng = np.random.default_rng(seed)
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    centers = pts[rng.choice(len(pts), n_beads, replace=False)]
+    for _ in range(n_iter):
+        d2 = ((pts[:, None] - centers[None]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for b in range(n_beads):
+            sel = assign == b
+            if sel.any():
+                centers[b] = pts[sel].mean(0)
+    return centers, assign
+
+
+def rama_binned_rotamer_probs(phi, psi, rotamer, weights=None, n_bin=36,
+                              pseudocount=0.5):
+    """Per-(phi,psi)-bin rotamer probabilities
+    (compute_rotamer_pos.cpp:105-236's tabulation).
+
+    Returns probs (n_bin, n_bin, n_rot) normalized per bin."""
+    phi = np.asarray(phi)
+    psi = np.asarray(psi)
+    rotamer = np.asarray(rotamer, int)
+    n_rot = rotamer.max() + 1
+    if weights is None:
+        weights = np.ones_like(phi)
+    bx = np.clip(((phi + np.pi) / (2 * np.pi) * n_bin).astype(int),
+                 0, n_bin - 1)
+    by = np.clip(((psi + np.pi) / (2 * np.pi) * n_bin).astype(int),
+                 0, n_bin - 1)
+    counts = np.full((n_bin, n_bin, n_rot), pseudocount)
+    np.add.at(counts, (bx, by, rotamer), weights)
+    return counts / counts.sum(-1, keepdims=True)
+
+
+def bead_direction(atoms_in_bead, cb_pos):
+    """Unit direction of a bead from the CB anchor (the directional part
+    of the 6-dim bead placement)."""
+    d = np.asarray(atoms_in_bead).mean(0) - cb_pos
+    n = np.linalg.norm(d)
+    return d / n if n > 0 else np.array([0.0, 0.0, 1.0])
+
+
+def write_placement_library(path, restype_data, bead_order=None):
+    """Write a rotamer placement/interaction library in the sidechain.h5
+    layout the config compiler consumes.
+
+    restype_data: {restype: dict(centers (n_rot*n_bead, 6),
+                                 probs (n_bin, n_bin, n_rot) or None,
+                                 n_bead int,
+                                 chi_table (n_state, 4) optional)}
+    """
+    restypes = sorted(restype_data)
+    centers, layer_of = [], {}
+    start_stop = []
+    all_probs = []
+    chi_rows = []
+    for rt in restypes:
+        d = restype_data[rt]
+        start = len(centers)
+        c = np.asarray(d['centers'], np.float64)
+        assert c.shape[1] == 6
+        centers.extend(c)
+        n_bead = int(d['n_bead'])
+        n_rot = len(c) // n_bead
+        start_stop.append((start, len(centers), n_bead))
+        probs = d.get('probs')
+        if probs is None:
+            n_bin = 36
+            probs = np.full((n_bin, n_bin, n_rot), 1.0 / n_rot)
+        # per-layer probability (replicated across beads of a rotamer)
+        for r in range(n_rot):
+            for b in range(n_bead):
+                all_probs.append(probs[:, :, r])
+        for row in d.get('chi_table', []):
+            chi_rows.append([restypes.index(rt)] + list(row))
+
+    with h5py.File(path, 'w') as f:
+        f.create_dataset('restype_order', data=np.asarray(restypes, 'S'))
+        f.create_dataset('rotamer_center_fixed',
+                         data=np.asarray(centers, np.float64))
+        f.create_dataset('rotamer_start_stop_bead',
+                         data=np.asarray(start_stop, np.int64))
+        probs_arr = np.transpose(np.asarray(all_probs), (1, 2, 0))
+        f.create_dataset('rotamer_prob',
+                         data=np.maximum(probs_arr, 1e-6).astype(np.float32))
+        if bead_order is None:
+            bead_order = [f'{rt}_{i}' for rt in restypes
+                          for i in range(int(restype_data[rt]['n_bead']))]
+        f.create_dataset('bead_order', data=np.asarray(bead_order, 'S'))
+        if chi_rows:
+            f.create_dataset('restype_and_chi_and_state',
+                             data=np.asarray(chi_rows, np.float64))
+    return path
