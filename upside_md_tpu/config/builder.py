@@ -525,6 +525,13 @@ class ConfigBuilder:
                     interaction_param=iparam)
         return self
 
+    def add_target_structure(self, target_pos):
+        """Record a target structure under /target for later analysis
+        (upside_config.py:1380-1387, py/add_target_information.py); never
+        read by the engine."""
+        self._target = np.asarray(target_pos, np.float32)
+        return self
+
     def add_z_flat_bottom(self, entries):
         """entries: list of (residue, z0, radius, spring_constant); the
         restraint acts on each residue's CA atom (upside_config.py:46-79)."""
@@ -776,6 +783,9 @@ class ConfigBuilder:
                 grp = inp.create_group(name)
                 for k, v in g.items():
                     grp.create_dataset(k, data=v)
+            if getattr(self, '_target', None) is not None:
+                f.create_group('target').create_dataset(
+                    'pos', data=self._target)
         return path
 
 

@@ -137,13 +137,9 @@ def _hbond_coverage(consts, params, inputs, extra):
             jnp.where(nmask, val, 0.0).reshape(-1), mode='drop')[:n2]
         return out[:, None]
 
-    p = gather_pair_params(table, consts["type1"], consts["type2"])
-    disp = sc[None, :, 0:3] - hb_nodes[:, None, 0:3]
-    dist2 = jnp.sum(disp * disp, -1)
-    cutoff = (k - 2 - 1e-6) * dx
-    mask = base_mask & (dist2 < cutoff * cutoff)
-    cov = quadspline_coverage(p, hb_nodes[:, 0:3], hb_nodes[:, 3:6],
-                              sc[:, 0:3], sc[:, 3:6], ka, k, 1.0 / dx, mask)
+    from ..ops.pairs import pair_coverage
+    cov = pair_coverage(table, consts["type1"], consts["type2"],
+                        hb_nodes, sc, base_mask, ka, k, dx)
     val = prefactor[:, None] * cov              # (n1, n2)
     return jnp.sum(val, axis=0)[:, None]        # per-sidechain coverage
 

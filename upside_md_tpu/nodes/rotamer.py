@@ -188,10 +188,9 @@ def assemble_rotamer_energies(consts, params, inputs):
         disp = x[None, :, 0:3] - x[:, None, 0:3]
         dist2 = jnp.sum(disp * disp, -1)
         pair_mask = base_mask & (dist2 < cutoff * cutoff)
-        p = gather_pair_params(table, consts["type"], consts["type"])
-        E_pair = quadspline_coverage(p, x[:, 0:3], x[:, 3:6],
-                                     x[:, 0:3], x[:, 3:6], ka, k, 1.0 / dx,
-                                     pair_mask)
+        from ..ops.pairs import pair_coverage
+        E_pair = pair_coverage(table, consts["type"], consts["type"],
+                               x, x, base_mask, ka, k, dx)
 
     # scatter to (R*6, R*6) with two one-hot matmuls (MXU-friendly)
     E2u = (onehot.T @ E_pair @ onehot).reshape(n_res, MAX_ROT, n_res, MAX_ROT)

@@ -127,6 +127,30 @@ def scatter_rows(values, idx, mask, n2):
     return dense[:, :n2]
 
 
+def pair_coverage(table, t1, t2, feats1, feats2, base_mask, ka, k, dx):
+    """Dense masked pair-spline values (n1, n2): dispatches to the Pallas
+    TPU mega-kernel on TPU backends, or the fused XLA dense-window
+    formulation elsewhere.  feats: (n, >=6) rows of site pos+dir."""
+    import os
+    use_pallas = (jax.default_backend() == 'tpu'
+                  and not os.environ.get('UPSIDE_NO_PALLAS'))
+    if use_pallas:
+        from .pallas_quadspline import quadspline_pallas
+        return quadspline_pallas((ka, k, 1.0 / dx), False,
+                                 jnp.asarray(table), jnp.asarray(t1),
+                                 jnp.asarray(t2), feats1[:, :6],
+                                 feats2[:, :6], base_mask)
+    p = gather_pair_params(jnp.asarray(table), jnp.asarray(t1),
+                           jnp.asarray(t2))
+    disp = feats2[None, :, 0:3] - feats1[:, None, 0:3]
+    dist2 = jnp.sum(disp * disp, -1)
+    cutoff = (k - 2 - 1e-6) * dx
+    mask = base_mask & (dist2 < cutoff * cutoff)
+    return quadspline_coverage(p, feats1[:, 0:3], feats1[:, 3:6],
+                               feats2[:, 0:3], feats2[:, 3:6],
+                               ka, k, 1.0 / dx, mask)
+
+
 def quadspline_family(n_param):
     """Infer (n_knot_angular, n_knot, dx) of a directional-bead spline table
     from its parameter count.  The reference hard-codes these families at

@@ -1,0 +1,318 @@
+"""Pallas TPU mega-kernel for the directional bead-pair spline ("quadspline").
+
+This is the hot op of the force field: every force evaluation computes,
+for every interacting site pair, two angular B-splines times two distance
+B-splines (reference src/bead_interaction.h:30-84).  The XLA formulation
+materializes (n1, n2, n_knot)-sized window-weight intermediates in HBM
+every evaluation; this kernel keeps them in VMEM:
+
+* per (128 x 128) pair tile, the per-pair parameter slab is produced by
+  ONE MXU matmul of the group-1 type one-hots against a pre-transposed,
+  position-independent (n_type, M, n2) table (hoisted out of MD loops),
+* the dense knot-axis contraction runs as an in-register loop over M with
+  on-the-fly window weights — nothing of size (n1, n2, M) touches HBM,
+* the backward pass is a second kernel implementing the reference's
+  analytic derivative partition (bead_interaction.h:61-73); parameter-
+  table cotangents come from an XLA einsum that XLA dead-code eliminates
+  in MD (only position gradients are consumed there).
+
+HBM traffic per evaluation: site data in, (n1, n2) values out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+SIXTH = (1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _window_accumulate(x_coord, n_knot, clamped, get_C, seg_off,
+                       want_deriv):
+    """Value (and optionally d/dx) of one spline segment for every pair in
+    the tile.  get_C(global_m) returns the (TI, TJ) per-pair parameter
+    plane of knot m, built on the fly from type one-hots — nothing of size
+    (TI, TJ, M) is ever materialized."""
+    n = n_knot
+    lo, hi = 1.0, float(n - 2)
+    xc = jnp.clip(x_coord, lo, hi)
+    i = jnp.clip(jnp.floor(xc).astype(jnp.int32), 1, n - 3)
+    t = xc - i.astype(xc.dtype)
+    s = 1.0 - t
+    w = [(1.0 / 6.0) * s * s * s,
+         (1.0 / 6.0) * (3.0 * t * t * t - 6.0 * t * t + 4.0),
+         (1.0 / 6.0) * (-3.0 * t * t * t + 3.0 * t * t + 3.0 * t + 1.0),
+         (1.0 / 6.0) * t * t * t]
+    dw = [-0.5 * s * s,
+          0.5 * (3.0 * t * t - 4.0 * t),
+          0.5 * (-3.0 * t * t + 2.0 * t + 1.0),
+          0.5 * t * t]
+    if clamped:
+        too_small = x_coord <= lo
+        too_big = x_coord >= hi
+
+    val = jnp.zeros_like(x_coord)
+    der = jnp.zeros_like(x_coord)
+    for m in range(n):
+        C_m = get_C(seg_off + m)
+        rel = m - i
+        wm = jnp.zeros_like(x_coord)
+        dm = jnp.zeros_like(x_coord)
+        for kk in range(4):
+            sel = rel == (kk - 1)
+            wm = jnp.where(sel, w[kk], wm)
+            if want_deriv:
+                dm = jnp.where(sel, dw[kk], dm)
+        if clamped:
+            # constant boundary value stencils, zero boundary slope
+            wm = jnp.where(too_small, SIXTH[m] if m < 3 else 0.0, wm)
+            wm = jnp.where(too_big,
+                           SIXTH[m - (n - 3)] if m >= n - 3 else 0.0, wm)
+            if want_deriv:
+                dm = jnp.where(too_small | too_big, 0.0, dm)
+        val = val + wm * C_m
+        if want_deriv:
+            der = der + dm * C_m
+    return val, der
+
+
+def _geometry(x1_ref, x2t_ref):
+    """Pair geometry from (TI, 8) group-1 rows and the (8, TJ) transposed
+    group-2 block: all (TI,1) x (1,TJ) broadcasts — no in-kernel gathers
+    or transposes (Mosaic lowers those poorly)."""
+    d1 = [x1_ref[:, c:c + 1] for c in (3, 4, 5)]        # each (TI, 1)
+    d2 = [x2t_ref[c:c + 1, :] for c in (3, 4, 5)]       # each (1, TJ)
+    dx = x2t_ref[0:1, :] - x1_ref[:, 0:1]
+    dy = x2t_ref[1:2, :] - x1_ref[:, 1:2]
+    dz = x2t_ref[2:3, :] - x1_ref[:, 2:3]
+    dist2 = dx * dx + dy * dy + dz * dz + 1e-12
+    inv_dist = jax.lax.rsqrt(dist2)
+    dist = dist2 * inv_dist
+    ux, uy, uz = dx * inv_dist, dy * inv_dist, dz * inv_dist
+    cos1 = d1[0] * ux + d1[1] * uy + d1[2] * uz
+    cos2 = -(d2[0] * ux + d2[1] * uy + d2[2] * uz)
+    return d1, d2, dist, inv_dist, (ux, uy, uz), cos1, cos2
+
+
+def _make_get_C(oh1_ref, t2t_ref, A):
+    """Closure producing the (TI, TJ) parameter plane of knot m:
+    C_m = sum_a oh1[:, a] (x) t2flat[m*A + a, :].  All broadcast FMAs on
+    VPU lanes; the t2flat rows are static slices of the m-major table."""
+    def get_C(m):
+        slab = t2t_ref[m * A:(m + 1) * A, :]          # (A, TJ) static slice
+        return jnp.dot(oh1_ref[:, :], slab,
+                       preferred_element_type=jnp.float32)  # MXU (TI,TJ)
+    return get_C
+
+
+def _fwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
+                mask_ref, out_ref):
+    inv_dtheta = (ka - 3) / 2.0
+    _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
+    get_C = _make_get_C(oh1_ref, t2t_ref, A)
+
+    s = dist * inv_dx
+    a1, _ = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka, False,
+                               get_C, 0, False)
+    a2, _ = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka, False,
+                               get_C, ka, False)
+    wide, _ = _window_accumulate(s, k, True, get_C, 2 * ka, False)
+    narrow, _ = _window_accumulate(s, k, True, get_C, 2 * ka + k, False)
+    live = (mask_ref[:, :] > 0) & (s < (k - 2 - 1e-6))
+    out_ref[:, :] = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
+
+
+def _bwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
+                mask_ref, g_ref, d1_ref, d2_ref):
+    inv_dtheta = (ka - 3) / 2.0
+    dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
+        x1_ref, x2t_ref)
+    get_C = _make_get_C(oh1_ref, t2t_ref, A)
+
+    s = dist * inv_dx
+    a1, da1 = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka, False,
+                                 get_C, 0, True)
+    a2, da2 = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka, False,
+                                 get_C, ka, True)
+    wide, dwide = _window_accumulate(s, k, True, get_C, 2 * ka, True)
+    narrow, dnarrow = _window_accumulate(s, k, True, get_C, 2 * ka + k,
+                                         True)
+
+    live = (mask_ref[:, :] > 0) & (s < (k - 2 - 1e-6))
+    g = jnp.where(live, g_ref[:, :], 0.0)
+    # reference derivative partition (bead_interaction.h:61-73)
+    radial = g * (dwide + a1 * a2 * dnarrow) * inv_dx
+    c1 = g * da1 * inv_dtheta * a2 * narrow
+    c2 = g * da2 * inv_dtheta * a1 * narrow
+
+    f1 = c1 * inv_dist
+    f2 = c2 * inv_dist
+    gx = radial * ux + f1 * (dir1[0] - cos1 * ux) - f2 * (dir2[0] + cos2 * ux)
+    gy = radial * uy + f1 * (dir1[1] - cos1 * uy) - f2 * (dir2[1] + cos2 * uy)
+    gz = radial * uz + f1 * (dir1[2] - cos1 * uz) - f2 * (dir2[2] + cos2 * uz)
+
+    # d_pos1 = -sum_j d_pos2; d_dir1 = sum_j c1*u.  Stored as per-tile
+    # partials (reduced over j-tiles in XLA) so the kernel is stateless
+    # across grid steps — safe under vmap, which prepends a batch grid
+    # axis and would shift any pl.program_id-based accumulation logic.
+    for c, arr, sgn in ((0, gx, -1.0), (1, gy, -1.0), (2, gz, -1.0),
+                        (3, c1 * ux, 1.0), (4, c1 * uy, 1.0),
+                        (5, c1 * uz, 1.0)):
+        d1_ref[0, :, c:c + 1] = sgn * jnp.sum(arr, 1, keepdims=True)
+    d1_ref[0, :, 6:7] = jnp.zeros_like(d1_ref[0, :, 6:7])
+    d1_ref[0, :, 7:8] = jnp.zeros_like(d1_ref[0, :, 7:8])
+
+    # d_pos2 rows (summed over i) land in the (1, 8, TJ) per-tile output
+    for c, arr, sgn in ((0, gx, 1.0), (1, gy, 1.0), (2, gz, 1.0),
+                        (3, c2 * ux, -1.0), (4, c2 * uy, -1.0),
+                        (5, c2 * uz, -1.0)):
+        d2_ref[0, c:c + 1, :] = sgn * jnp.sum(arr, 0, keepdims=True)
+    d2_ref[0, 6:7, :] = jnp.zeros_like(d2_ref[0, 6:7, :])
+    d2_ref[0, 7:8, :] = jnp.zeros_like(d2_ref[0, 7:8, :])
+
+
+def _prep(table, t1, t2, x1, x2, mask):
+    """Pad to tiles and precompute the position-independent operands."""
+    A, B, M = table.shape
+    n1, n2 = x1.shape[0], x2.shape[0]
+    n1p, n2p = _round_up(n1, TILE), _round_up(n2, TILE)
+    x1p = jnp.pad(x1[:, :6].astype(jnp.float32), ((0, n1p - n1), (0, 2)))
+    x2p = jnp.pad(x2[:, :6].astype(jnp.float32).T, ((0, 2), (0, n2p - n2)))
+    oh1 = jax.nn.one_hot(t1, A, dtype=jnp.float32)
+    oh1 = jnp.pad(oh1, ((0, n1p - n1), (0, 0)))
+    oh2 = jax.nn.one_hot(t2, B, dtype=jnp.float32)
+    # t2flat[m*A + a, j] = sum_b table[a,b,m] * oh2[j,b] — m-major rows so
+    # each knot's (A, TJ) slab is a static contiguous slice in the kernel;
+    # position-independent, hoisted out of MD loops by XLA
+    t2t = jnp.einsum('abm,jb->maj', table.astype(jnp.float32), oh2)
+    t2t = t2t.reshape(M * A, n2)
+    t2t = jnp.pad(t2t, ((0, 0), (0, n2p - n2)))
+    maskp = jnp.pad(mask.astype(jnp.float32), ((0, n1p - n1), (0, n2p - n2)))
+    return x1p, x2p, oh1, t2t, maskp, n1p, n2p
+
+
+def _specs(A, M, with_g):
+    specs = [
+        pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, TILE), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, A), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((M * A, TILE), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_g:
+        specs.append(pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def quadspline_pallas(family, interpret, table, t1, t2, x1, x2, mask):
+    """Masked pair-spline values (n1, n2) on the TPU MXU/VPU.
+
+    family: (ka, k, inv_dx); x1/x2: (n, >=6) site pos+dir rows; mask:
+    (n1, n2) bool exclusion mask.  Matches ops.pairs.quadspline_coverage
+    (with its distance cutoff) exactly."""
+    return _fwd_impl(family, interpret, table, t1, t2, x1, x2, mask)
+
+
+def _fwd_impl(family, interpret, table, t1, t2, x1, x2, mask):
+    ka, k, inv_dx = family
+    A, B, M = table.shape
+    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, ka, k, inv_dx, A),
+        grid=(n1p // TILE, n2p // TILE),
+        in_specs=_specs(A, M, False),
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n1p, n2p), jnp.float32),
+        interpret=interpret,
+    )(x1p, x2p, oh1, t2t, maskp)
+    return out[:x1.shape[0], :x2.shape[0]].astype(x1.dtype)
+
+
+def _fwd_rule(family, interpret, table, t1, t2, x1, x2, mask):
+    out = _fwd_impl(family, interpret, table, t1, t2, x1, x2, mask)
+    return out, (table, t1, t2, x1, x2, mask)
+
+
+def _bwd_rule(family, interpret, res, g):
+    ka, k, inv_dx = family
+    inv_dtheta = (ka - 3) / 2.0
+    table, t1, t2, x1, x2, mask = res
+    A, B, M = table.shape
+    n1, n2 = x1.shape[0], x2.shape[0]
+    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
+    gp = jnp.pad(g.astype(jnp.float32), ((0, n1p - n1), (0, n2p - n2)))
+
+    d1, d2_part = pl.pallas_call(
+        functools.partial(_bwd_kernel, ka, k, inv_dx, A),
+        grid=(n1p // TILE, n2p // TILE),
+        in_specs=_specs(A, M, True),
+        out_specs=(
+            pl.BlockSpec((1, TILE, 8), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n2p // TILE, n1p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n1p // TILE, 8, n2p), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x1p, x2p, oh1, t2t, maskp, gp)
+    d2 = jnp.sum(d2_part, axis=0).T        # (n2p, 8)
+    d1 = jnp.sum(d1, axis=0)               # (n1p, 8) from per-j-tile partials
+
+    dx1 = jnp.zeros_like(x1).at[:, :6].set(d1[:n1, :6].astype(x1.dtype))
+    dx2 = jnp.zeros_like(x2).at[:, :6].set(d2[:n2, :6].astype(x2.dtype))
+
+    # parameter-table cotangent via the XLA dense-window formulation;
+    # XLA dead-code eliminates this whole block when the table gradient is
+    # not consumed (i.e., in MD where only position gradients are used)
+    from .spline import bspline_window_weights
+    disp = x2[None, :, 0:3] - x1[:, None, 0:3]
+    dist2 = jnp.sum(disp * disp, -1) + 1e-12
+    inv_dist = jax.lax.rsqrt(dist2)
+    u = disp * inv_dist[..., None]
+    cos1 = jnp.sum(x1[:, None, 3:6] * u, -1)
+    cos2 = -jnp.sum(x2[None, :, 3:6] * u, -1)
+    s = dist2 * inv_dist * inv_dx
+    live = mask & (s < (k - 2 - 1e-6))
+    gm = jnp.where(live, g, 0.0)
+    Wa1 = bspline_window_weights((cos1 + 1) * inv_dtheta + 1, ka, False)
+    Wa2 = bspline_window_weights((cos2 + 1) * inv_dtheta + 1, ka, False)
+    Wd = bspline_window_weights(s, k, True)
+    oh1f = jax.nn.one_hot(t1, A, dtype=jnp.float32)
+    oh2f = jax.nn.one_hot(t2, B, dtype=jnp.float32)
+    p_pair = jnp.einsum('ia,jb,abm->ijm', oh1f, oh2f,
+                        table.astype(jnp.float32))
+    a1 = jnp.sum(Wa1 * p_pair[..., 0:ka], -1)
+    a2 = jnp.sum(Wa2 * p_pair[..., ka:2 * ka], -1)
+    narrow = jnp.sum(Wd * p_pair[..., 2 * ka + k:], -1)
+    gW = jnp.concatenate([
+        (gm * a2 * narrow)[..., None] * Wa1,
+        (gm * a1 * narrow)[..., None] * Wa2,
+        gm[..., None] * Wd,
+        (gm * a1 * a2)[..., None] * Wd], axis=-1)
+    d_table = jnp.einsum('ia,jb,ijm->abm', oh1f, oh2f, gW).astype(table.dtype)
+
+    return (d_table, None, None, dx1, dx2, None)
+
+
+quadspline_pallas.defvjp(_fwd_rule, _bwd_rule)
