@@ -46,7 +46,7 @@ TARGET_MULTIPLE = 100.0
 
 def main():
     n_replica = int(os.environ.get("BENCH_REPLICAS", "64"))
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "50"))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "20"))
 
     if have_reference_params():
         system, params, pos, aux = build_full_system(seq=UBIQUITIN)
@@ -60,15 +60,20 @@ def main():
     state = sim.initial_state(pos, params, seed=1, temperature=0.85,
                               n_replica=n_replica)
 
-    # compile + warm up (same static round count as the measured call so
+    # compile + warm up (same static round count as the measured calls so
     # exactly one executable is built)
     state = sim.advance(state, params, n_rounds, True)
     jax.block_until_ready(state.pos)
 
-    t0 = time.perf_counter()
-    state = sim.advance(state, params, n_rounds, True)
-    jax.block_until_ready(state.pos)
-    elapsed = time.perf_counter() - t0
+    # several chained timed calls; the median guards against caching or
+    # scheduling artifacts in the execution path
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = sim.advance(state, params, n_rounds, True)
+        jax.block_until_ready(state.pos)
+        times.append(time.perf_counter() - t0)
+    elapsed = sorted(times)[len(times) // 2]
 
     steps = 3 * n_rounds * n_replica  # force evaluations across the ensemble
     steps_per_sec = steps / elapsed
