@@ -47,6 +47,9 @@ TARGET_MULTIPLE = 100.0
 def main():
     n_replica = int(os.environ.get("BENCH_REPLICAS", "64"))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "20"))
+    # a fresh seed per invocation: the execution path may record/replay
+    # (executable, input) pairs, which would fake instant repeat timings
+    seed = int(os.environ.get("BENCH_SEED", str(int(time.time()) % 100000)))
 
     if have_reference_params():
         system, params, pos, aux = build_full_system(seq=UBIQUITIN)
@@ -57,21 +60,21 @@ def main():
 
     sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
                      do_recenter=False)
-    state = sim.initial_state(pos, params, seed=1, temperature=0.85,
+    state = sim.initial_state(pos, params, seed=seed, temperature=0.85,
                               n_replica=n_replica)
 
     # compile + warm up (same static round count as the measured calls so
-    # exactly one executable is built)
+    # exactly one executable is built).  NOTE: on remote-execution backends
+    # block_until_ready may not synchronize — a host-side value fetch is
+    # the only reliable barrier, so every timed call ends with one.
     state = sim.advance(state, params, n_rounds, True)
-    jax.block_until_ready(state.pos)
+    _ = float(jnp.sum(state.pos))
 
-    # several chained timed calls; the median guards against caching or
-    # scheduling artifacts in the execution path
     times = []
-    for _ in range(3):
+    for _i in range(3):
         t0 = time.perf_counter()
         state = sim.advance(state, params, n_rounds, True)
-        jax.block_until_ready(state.pos)
+        _ = float(jnp.sum(state.pos))   # host fetch = hard sync point
         times.append(time.perf_counter() - t0)
     elapsed = sorted(times)[len(times) // 2]
 
