@@ -70,6 +70,9 @@ def main(argv=None):
     p.add_argument("--log-level", default="detailed",
                    choices=["basic", "detailed", "extensive"])
     p.add_argument("--potential-deriv-agreement", action="store_true")
+    p.add_argument("--set-param", default="",
+                   help="HDF5 file of node-name -> flat parameter arrays to "
+                        "override before running (main.cpp:384-395)")
     p.add_argument("--verbose", action="store_true", default=True)
     p.add_argument("configs", nargs="+", help=".up configuration files")
     args = p.parse_args(argv)
@@ -91,6 +94,16 @@ def main(argv=None):
     params0 = loaded[0][1]
     aux = loaded[0][3]
     pos = np.stack([ld[2] for ld in loaded])
+
+    if args.set_param:
+        import h5py
+
+        from .engine import Upside
+        eng = Upside(system, params0, jnp.asarray(pos[0]))
+        with h5py.File(args.set_param, "r") as pf:
+            for node_name in pf:
+                eng.set_param(np.asarray(pf[node_name]), node_name)
+        params0 = eng.params
 
     pivot = jump = None
     if args.monte_carlo_interval > 0 and "pivot_moves" in aux:
