@@ -107,12 +107,11 @@ def max_eigvec_sym4(F, n_newton=25):
 
     lam = jnp.sqrt(jnp.maximum(p2, 1e-20))  # upper bound: lmax^2 <= tr(F^2)
 
-    def newton(lam, _):
+    # unrolled Newton (a lax.scan of tiny iterations serializes poorly)
+    for _ in range(n_newton):
         P = ((lam * lam + c2) * lam + c1) * lam + c0
         dP = (4.0 * lam * lam + 2.0 * c2) * lam + c1
-        return lam - P / jnp.where(jnp.abs(dP) > 1e-20, dP, 1e-20), None
-
-    lam, _ = jax.lax.scan(newton, lam, None, length=n_newton)
+        lam = lam - P / jnp.where(jnp.abs(dP) > 1e-20, dP, 1e-20)
 
     # adjugate of B = F - lam I via Cayley–Hamilton:
     #   adj(B) = -(B^3 + b3 B^2 + b2 B + b1 I), b-coeffs from traces of B^k

@@ -161,22 +161,31 @@ def eval_periodic_bspline_2d(coeffs, x, y):
     ty = y - iy
     offs = jnp.arange(-1, 3, dtype=jnp.int32)
     ixw = (ix[..., None] + offs) % nx  # (..., 4)
-    iyw = (iy[..., None] + offs) % ny  # (..., 4)
 
+    # TPU-friendly evaluation: ONE row gather along x (contiguous ny-rows,
+    # a vector gather), then a dense periodic window contraction along y —
+    # scalar window gathers lower catastrophically on TPU.
     cb = jnp.broadcast_to(coeffs, x.shape + (nx, ny))
-    # gather 4x4 window: (..., 4, 4)
-    c44 = jnp.take_along_axis(
-        jnp.take_along_axis(cb, ixw[..., :, None], axis=-2),
-        iyw[..., None, :], axis=-1)
+    rows = jnp.take_along_axis(cb, ixw[..., :, None], axis=-2)  # (...,4,ny)
 
     wx, dwx = bspline_weights(tx), bspline_dweights(tx)
-    wy, dwy = bspline_weights(ty), bspline_dweights(ty)
+    wy4, dwy4 = bspline_weights(ty), bspline_dweights(ty)
+    m = jnp.arange(ny, dtype=jnp.int32)
+    rel = (m - iy[..., None] + 1) % ny               # (..., ny) in [0, ny)
+    Wy = (jnp.where(rel == 0, wy4[..., 0:1], 0.0)
+          + jnp.where(rel == 1, wy4[..., 1:2], 0.0)
+          + jnp.where(rel == 2, wy4[..., 2:3], 0.0)
+          + jnp.where(rel == 3, wy4[..., 3:4], 0.0))
+    dWy = (jnp.where(rel == 0, dwy4[..., 0:1], 0.0)
+           + jnp.where(rel == 1, dwy4[..., 1:2], 0.0)
+           + jnp.where(rel == 2, dwy4[..., 2:3], 0.0)
+           + jnp.where(rel == 3, dwy4[..., 3:4], 0.0))
 
-    cy = jnp.einsum('...ij,...j->...i', c44, wy)
-    cdy = jnp.einsum('...ij,...j->...i', c44, dwy)
-    val = jnp.einsum('...i,...i->...', cy, wx)
-    ddx = jnp.einsum('...i,...i->...', cy, dwx)
-    ddy = jnp.einsum('...i,...i->...', cdy, wx)
+    cy = jnp.sum(rows * Wy[..., None, :], -1)        # (..., 4)
+    cdy = jnp.sum(rows * dWy[..., None, :], -1)
+    val = jnp.sum(cy * wx, -1)
+    ddx = jnp.sum(cy * dwx, -1)
+    ddy = jnp.sum(cdy * wx, -1)
     return val, ddx, ddy
 
 
