@@ -88,22 +88,45 @@ def main(argv=None):
     if len(temps) != n_sys:
         sys.exit(f"got {len(temps)} temperatures for {n_sys} systems")
 
-    # load all systems; batch if structurally identical
+    # load all systems; batch if structurally identical.  When configs
+    # carry different parameter values (same graph), every replica slot
+    # gets its own parameter pytree — Hamiltonian replica exchange.
     loaded = [load_system(c) for c in args.configs]
     system = loaded[0][0]
     params0 = loaded[0][1]
     aux = loaded[0][3]
     pos = np.stack([ld[2] for ld in loaded])
 
+    import jax as _jax
+
+    def _params_equal(a, b):
+        leaves_a = _jax.tree.leaves(a)
+        leaves_b = _jax.tree.leaves(b)
+        return all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(leaves_a, leaves_b))
+
+    hamiltonian = any(not _params_equal(params0, ld[1]) for ld in loaded[1:])
+    if hamiltonian:
+        params0 = _jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[ld[1] for ld in loaded])
+
     if args.set_param:
         import h5py
 
         from .engine import Upside
-        eng = Upside(system, params0, jnp.asarray(pos[0]))
+        new_per_config = []
         with h5py.File(args.set_param, "r") as pf:
-            for node_name in pf:
-                eng.set_param(np.asarray(pf[node_name]), node_name)
-        params0 = eng.params
+            overrides = {name: np.asarray(pf[name]) for name in pf}
+        for ld in (loaded if hamiltonian else loaded[:1]):
+            eng = Upside(ld[0], ld[1], jnp.asarray(pos[0]))
+            for node_name, val in overrides.items():
+                eng.set_param(val, node_name)
+            new_per_config.append(eng.params)
+        if hamiltonian:
+            params0 = _jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *new_per_config)
+        else:
+            params0 = new_per_config[0]
 
     pivot = jump = None
     if args.monte_carlo_interval > 0 and "pivot_moves" in aux:
@@ -134,10 +157,11 @@ def main(argv=None):
                               temperature=temps, n_replica=n_sys)
 
     if args.potential_deriv_agreement:
-        _, _, per_term = system.evaluate(jnp.asarray(pos[0]), params0)
+        p_first = loaded[0][1] if hamiltonian else params0
+        _, _, per_term = system.evaluate(jnp.asarray(pos[0]), p_first)
         for name, v in sorted(per_term.items()):
             print(f"{name}: {float(v): 4.3f}")
-        rel = potential_deriv_agreement(system, params0, pos[0])
+        rel = potential_deriv_agreement(system, p_first, pos[0])
         print(f"overall potential relative error:  {rel:.5f}")
 
     rex = None
@@ -154,7 +178,10 @@ def main(argv=None):
                for c in args.configs]
     replica_index = jnp.arange(n_sys)
     beta = jnp.asarray([1.0 / t for t in temps], jnp.float32)
-    energy_of = jax.jit(jax.vmap(lambda p: system.energy(p, params0)))
+    if hamiltonian:
+        energy_of = jax.jit(lambda pp: jax.vmap(system.energy)(pp, params0))
+    else:
+        energy_of = jax.jit(jax.vmap(lambda p: system.energy(p, params0)))
     rex_stats = None
 
     t_start = time.time()
@@ -169,14 +196,16 @@ def main(argv=None):
         if replica_interval:
             next_rep = ((done // replica_interval) + 1) * replica_interval
             target = min(target, next_rep)
-        state = sim.advance(state, params0, target - done, True)
+        state = sim.advance(state, params0, target - done, True,
+                            hamiltonian)
         done = target
 
         if done % frame_rounds == 0 or done == n_round:
             if sim.do_recenter:
                 state = sim.recentered(state)
             kin = np.asarray(sim.kinetic_energy(state))
-            pot = np.asarray(sim.potential_energy(state, params0, True))
+            pot = np.asarray(sim.potential_energy(state, params0, True,
+                                                  hamiltonian))
             pos_np = np.asarray(state.pos)
             for ns, lg in enumerate(loggers):
                 lg.log_frame("pos", pos_np[ns][None])

@@ -168,11 +168,17 @@ class Simulation:
 
     # -- bulk advancement ---------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def advance(self, state, params, n_rounds, batched=False):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def advance(self, state, params, n_rounds, batched=False,
+                params_batched=False):
         """Run n_rounds rounds on device.  batched=True vmaps over the
-        leading replica axis of the state (params shared)."""
+        leading replica axis of the state; params_batched=True additionally
+        gives every replica slot its own parameter pytree (Hamiltonian
+        replica exchange — the reference's per-system engines,
+        main.cpp:456-495)."""
         def body(_, st):
+            if batched and params_batched:
+                return jax.vmap(self._one_round)(st, params)
             if batched:
                 return jax.vmap(lambda s: self._one_round(s, params))(st)
             return self._one_round(st, params)
@@ -184,7 +190,10 @@ class Simulation:
         """(1/2)<|p|^2> per atom (main.cpp:532-536)."""
         return 0.5 * jnp.mean(jnp.sum(state.mom ** 2, -1), -1)
 
-    def potential_energy(self, state, params, batched=False):
+    def potential_energy(self, state, params, batched=False,
+                         params_batched=False):
+        if batched and params_batched:
+            return jax.vmap(self.system.energy)(state.pos, params)
         f = lambda p: self.system.energy(p, params)  # noqa: E731
         return jax.vmap(f)(state.pos) if batched else f(state.pos)
 
