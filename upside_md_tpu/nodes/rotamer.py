@@ -73,9 +73,13 @@ def _bp_solve(prob, P, adj, valid, damping, max_iter, tol):
 
     def edge_update(nb_for_v, eb):
         # V[i,j,:] = nb[i]/(eps+eb[i,j,:]); message into i from j:
-        # eb_new[i,j,a] = sum_b P[i,j,a,b] * V[j,i,b]
+        # eb_new[i,j,a] = sum_b P[i,j,a,b] * V[j,i,b].
+        # Written as an elementwise multiply-reduce instead of an einsum:
+        # a batched 6x6 dot_general pads each tiny tile onto the MXU and
+        # dominates the whole force evaluation; the VPU form is ~free.
         V = nb_for_v[:, None, :] / (EPS + eb)
-        m = jnp.einsum('ijab,jib->ija', P, V)
+        VT = jnp.swapaxes(V, 0, 1)                    # VT[i,j,b] = V[j,i,b]
+        m = jnp.sum(P * VT[:, :, None, :], axis=-1)   # (R,R,6)
         m = jnp.where(valid[:, None, :], m, 0.0)
         norm = jnp.sum(m, axis=-1, keepdims=True)
         m = m / jnp.maximum(norm, EPS)
