@@ -131,3 +131,16 @@ def test_full_forcefield_md_short(tmp_path):
     state = sim.advance(state, params, 10)
     assert np.all(np.isfinite(np.asarray(state.pos)))
     assert np.isfinite(float(sim.potential_energy(state, params)))
+
+
+@needs_params
+def test_10A_cutoff_family(tmp_path):
+    """BASELINE config 3: the PARAM_10A_CUTOFF parameter family, resolved
+    at runtime from table shapes (the reference needs a rebuild)."""
+    from upside_md_tpu.bench_systems import build_10A_system
+    system, params, pos, aux = build_10A_system(seq='MTYKLILNGKTLKGETTTE')
+    total, outputs, per_term = system.evaluate(jnp.asarray(pos), params)
+    assert np.isfinite(float(total))
+    assert 'rotamer' in per_term
+    g = jax.grad(system.energy)(jnp.asarray(pos), params)
+    assert np.all(np.isfinite(np.asarray(g)))
