@@ -55,7 +55,7 @@ def decode_bead_ids(packed_ids, n_bit_rotamer=4):
     return rot.astype(np.int32), n_rot.astype(np.int32), res.astype(np.int32)
 
 
-def _bp_solve(prob, P, adj, valid, damping, max_iter, tol):
+def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2):
     """Damped synchronous loopy BP on the dense residue grid.
 
     prob:  (R, 6)        unnormalized node potentials (zero at invalid slots)
@@ -101,11 +101,16 @@ def _bp_solve(prob, P, adj, valid, damping, max_iter, tol):
 
     def body(state):
         nb, eb, it, _ = state
-        eb_new = edge_update(nb, eb)
-        nb_new = node_update(eb_new)
-        nb_new = (1.0 - damping) * nb_new + damping * nb
-        dev = jnp.max(nb_new - nb)
-        return nb_new, eb_new, it + 1, dev
+        # several sweeps per convergence check (the reference's
+        # iteration_chunk_size, rotamer.cpp:1038-1046) — halves the
+        # while-loop condition overhead
+        for _ in range(chunk):
+            nb_prev = nb
+            eb = edge_update(nb, eb)
+            nb_new = node_update(eb)
+            nb = (1.0 - damping) * nb_new + damping * nb
+        dev = jnp.max(nb - nb_prev)
+        return nb, eb, it + chunk, dev
 
     nb, eb, _, _ = jax.lax.while_loop(
         cond, body, (nb0, eb0, jnp.asarray(0), jnp.asarray(jnp.inf, prob.dtype)))
@@ -212,7 +217,8 @@ def _rotamer(consts, params, inputs, extra):
     # solve (constant w.r.t. autodiff) and assemble the Bethe energy
     nb, eb = _bp_solve(jax.lax.stop_gradient(prob), jax.lax.stop_gradient(P),
                        adj, valid, consts["damping"], consts["max_iter"],
-                       consts["tol"])
+                       consts["tol"],
+                       consts.get("iteration_chunk_size", 2))
     return bethe_free_energy(E1, offset, P, adj, valid, nb, eb)
 
 
