@@ -65,10 +65,9 @@ def make_bead_system(rng, n_rot_per_res, spread=3.0, n_param=2 * 8 + 2 * 9):
 
 def brute_force_free_energy(consts, params, inputs):
     """-log Z by enumeration using the node's own assembled energies."""
-    E1, offset, prob, P, adj, valid = [
+    E1, offset, prob, E2, adj, valid = [
         np.asarray(v) for v in assemble_rotamer_energies(
             consts, {"interaction_param": jnp.asarray(params)}, inputs)]
-    E2 = -np.log(P)
     n_rot = np.asarray(consts["n_rot_per_res"])
     R = len(n_rot)
     states = itertools.product(*[range(n) for n in n_rot])
@@ -120,10 +119,9 @@ def test_bp_marginals_exact_on_chain(rng):
     nb = np.asarray(nb)
 
     # brute-force marginals
-    E1, offset, prob, P, adj, valid = [
+    E1, offset, prob, E2, adj, valid = [
         np.asarray(v) for v in assemble_rotamer_energies(
             consts, {"interaction_param": jnp.asarray(table)}, inputs)]
-    E2 = -np.log(P)
     n_rot = np.asarray(consts["n_rot_per_res"])
     R = len(n_rot)
     marg = np.zeros((R, MAX_ROT))

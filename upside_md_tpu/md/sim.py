@@ -36,6 +36,9 @@ class SimState(NamedTuple):
     initial_temperature: jnp.ndarray
     pivot_stats: jnp.ndarray    # (2,) int32 [success, attempt]
     jump_stats: jnp.ndarray
+    # per-node solver state (System.energy_and_cache): warm-start data
+    # such as BP messages, threaded through every force evaluation
+    cache: dict = {}
 
 
 class Simulation:
@@ -86,6 +89,8 @@ class Simulation:
         temps = jnp.broadcast_to(
             jnp.asarray(temperature, pos.dtype).reshape(-1), (n_rep,))
 
+        cache0 = self.system.init_cache()
+
         def make_one(p, s, t):
             key = stream_key(int(s), THERMOSTAT_STREAM, 0)
             mom = thermalize(key, p.shape, t, p.dtype)
@@ -96,7 +101,8 @@ class Simulation:
                 temperature=jnp.asarray(t, p.dtype),
                 initial_temperature=jnp.asarray(t, p.dtype),
                 pivot_stats=jnp.zeros(2, jnp.int32),
-                jump_stats=jnp.zeros(2, jnp.int32))
+                jump_stats=jnp.zeros(2, jnp.int32),
+                cache=cache0)
 
         if batched:
             states = [make_one(pos[i], seeds[i], temps[i])
@@ -124,10 +130,13 @@ class Simulation:
         def energy(p):
             return self.system.energy(p, params)
 
-        def deriv(p, stage):
+        def deriv(p, stage, cache):
             extra = {"n_deriv_evals": 3 * nr + stage + 1}
-            return jax.grad(
-                lambda q: self.system.energy(q, params, extra=extra))(p)
+            g, new_cache = jax.grad(
+                lambda q: self.system.energy_and_cache(
+                    q, params, extra=extra, cache=cache),
+                has_aux=True)(p)
+            return g, new_cache
 
         # Monte Carlo moves (not at round 0, main.cpp:628-631)
         if self.mc_interval:
@@ -162,9 +171,11 @@ class Simulation:
         state = jax.lax.cond(nr % self.thermostat_interval == 0,
                              do_thermostat, lambda st: st, state)
 
-        pos, mom = integration_cycle(deriv, state.pos, state.mom, self.dt,
-                                     self.max_force, self.integrator)
-        return state._replace(pos=pos, mom=mom, round_num=nr + 1)
+        pos, mom, cache = integration_cycle(
+            deriv, state.pos, state.mom, self.dt, self.max_force,
+            self.integrator, cache=state.cache)
+        return state._replace(pos=pos, mom=mom, round_num=nr + 1,
+                              cache=cache)
 
     # -- bulk advancement ---------------------------------------------------
 

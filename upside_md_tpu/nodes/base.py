@@ -38,14 +38,18 @@ class NodeType:
     # optional flat-parameter API (reference get_param/set_param compatibility)
     get_param: Optional[Callable] = None  # (consts, params) -> np.ndarray
     set_param: Optional[Callable] = None  # (consts, params, flat) -> (consts, params)
+    # optional per-step solver state threaded through the MD loop
+    # (System.energy_and_cache): (consts, params) -> pytree or None
+    init_cache: Optional[Callable] = None
 
 
 def register_node(name, is_potential, compute, read=None,
-                  get_param=None, set_param=None):
+                  get_param=None, set_param=None, init_cache=None):
     for existing in NODE_REGISTRY:
         if existing.startswith(name) or name.startswith(existing):
             raise ValueError(f"node type name clash: {existing} vs {name}")
-    nt = NodeType(name, is_potential, compute, read, get_param, set_param)
+    nt = NodeType(name, is_potential, compute, read, get_param, set_param,
+                  init_cache)
     NODE_REGISTRY[name] = nt
     return nt
 

@@ -55,13 +55,18 @@ def decode_bead_ids(packed_ids, n_bit_rotamer=4):
     return rot.astype(np.int32), n_rot.astype(np.int32), res.astype(np.int32)
 
 
-def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2):
+def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2,
+              init=None):
     """Damped synchronous loopy BP on the dense residue grid.
 
     prob:  (R, 6)        unnormalized node potentials (zero at invalid slots)
     P:     (R, R, 6, 6)  pairwise Boltzmann factors, P[i,j,a,b]=exp(-E2[i,j,a,b])
     adj:   (R, R) bool   which pairs are real edges (diagonal False)
     valid: (R, 6) bool   rotamer-slot validity
+    init:  optional (nb0 (R,6), eb0 (R,R,6)) warm-start beliefs; BP
+           converges to the same fixed point from any positive init, so a
+           warm start (e.g. the previous MD step's messages) only changes
+           the iteration count, never the answer beyond `tol`.
     Returns (node_belief (R,6) l1-normalized, edge_belief (R,R,6)).
 
     Matches the reference solve_for_marginals schedule
@@ -91,9 +96,13 @@ def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2):
         nb = prob * jnp.exp(jnp.sum(logm, axis=1))
         return nb / jnp.maximum(jnp.max(nb, axis=-1, keepdims=True), EPS)
 
-    # initial sweep (undamped; reference calculate_new_beliefs(0, true))
-    eb0 = edge_update(prob, jnp.ones((R, R, MAX_ROT), prob.dtype))
-    nb0 = prob / jnp.maximum(jnp.max(prob, -1, keepdims=True), EPS)
+    if init is None:
+        # initial sweep (undamped; reference calculate_new_beliefs(0, true))
+        eb0 = edge_update(prob, jnp.ones((R, R, MAX_ROT), prob.dtype))
+        nb0 = prob / jnp.maximum(jnp.max(prob, -1, keepdims=True), EPS)
+    else:
+        nb0, eb0 = (jnp.asarray(init[0], prob.dtype),
+                    jnp.asarray(init[1], prob.dtype))
 
     def cond(state):
         _, _, it, dev = state
@@ -109,7 +118,7 @@ def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2):
             eb = edge_update(nb, eb)
             nb_new = node_update(eb)
             nb = (1.0 - damping) * nb_new + damping * nb
-        dev = jnp.max(nb - nb_prev)
+        dev = jnp.max(jnp.abs(nb - nb_prev))
         return nb, eb, it + chunk, dev
 
     nb, eb, _, _ = jax.lax.while_loop(
@@ -153,9 +162,10 @@ def bethe_free_energy(E1, offset, P, adj, valid, node_marg, edge_belief):
 def assemble_rotamer_energies(consts, params, inputs):
     """Build the padded residue-level BP problem from bead geometry.
 
-    Returns (E1 (R,6), offset (R,), prob (R,6), P (R,R,6,6), adj, valid) —
+    Returns (E1 (R,6), offset (R,), prob (R,6), E2 (R,R,6,6), adj, valid) —
     the reference builds the same data into its Node/EdgeHolders
-    (rotamer.cpp fill_holders, :793-852)."""
+    (rotamer.cpp fill_holders, :793-852).  E2 is the symmetrized pair
+    energy; the Boltzmann factor P = exp(-E2) is formed by the solver."""
     beads = inputs[0]                       # bead pos+dir node (n, >=6)
     prob_nodes = inputs[1:]                 # 1-body energies, each (n, 1)
 
@@ -207,19 +217,73 @@ def assemble_rotamer_energies(consts, params, inputs):
     E2 = E2u + jnp.transpose(E2u, (1, 0, 3, 2))
     adjf = onehot_res.T @ pair_mask.astype(x.dtype) @ onehot_res
     adj = ((adjf + adjf.T) > 0) & ~jnp.eye(n_res, dtype=bool)
-    P = jnp.exp(-E2)
-    return E1, offset, prob, P, adj, valid
+    return E1, offset, prob, E2, adj, valid
+
+
+def _use_pallas_bp(n_res):
+    import os
+    return (jax.default_backend() == 'tpu'
+            and not os.environ.get('UPSIDE_NO_PALLAS')
+            and n_res <= 128)
 
 
 def _rotamer(consts, params, inputs, extra):
-    E1, offset, prob, P, adj, valid = assemble_rotamer_energies(
+    E1, offset, prob, E2, adj, valid = assemble_rotamer_energies(
         consts, params, inputs)
+    n_res = E1.shape[0]
+    static = (n_res, float(consts["damping"]), int(consts["max_iter"]),
+              float(consts["tol"]), int(consts.get("iteration_chunk_size", 2)))
+
+    # warm-start messages threaded through the MD loop (cache protocol of
+    # System.energy_and_cache); BP converges to the same fixed point from
+    # any init, so this only cuts iterations
+    name = (extra or {}).get("_node_name")
+    init = (extra or {}).get("_cache", {}).get(name)
+    cache_out = (extra or {}).get("_cache_out")
+
+    if _use_pallas_bp(n_res):
+        # fused in-VMEM solve + Bethe + envelope gradients (one Pallas
+        # kernel per replica; see ops/pallas_bp.py)
+        from ..ops.pallas_bp import bp_bethe_pallas
+        E2planes = jnp.transpose(E2, (2, 3, 0, 1)).reshape(
+            MAX_ROT * MAX_ROT, n_res, n_res).astype(jnp.float32)
+        F, nb, eb = bp_bethe_pallas(static, False, E1.astype(jnp.float32),
+                                    E2planes, adj, jnp.asarray(valid), init)
+        if cache_out is not None and name is not None:
+            cache_out[name] = (jax.lax.stop_gradient(nb),
+                               jax.lax.stop_gradient(eb))
+        return F.astype(E1.dtype)
+
+    P = jnp.exp(-E2)
     # solve (constant w.r.t. autodiff) and assemble the Bethe energy
     nb, eb = _bp_solve(jax.lax.stop_gradient(prob), jax.lax.stop_gradient(P),
                        adj, valid, consts["damping"], consts["max_iter"],
                        consts["tol"],
-                       consts.get("iteration_chunk_size", 2))
+                       consts.get("iteration_chunk_size", 2), init=init)
+    if cache_out is not None and name is not None:
+        # stored in f32 so the cache pytree keeps a stable structure in
+        # lax.fori_loop carries regardless of the x64 mode
+        cache_out[name] = (
+            jax.lax.stop_gradient(nb).astype(jnp.float32),
+            jax.lax.stop_gradient(eb).astype(jnp.float32))
     return bethe_free_energy(E1, offset, P, adj, valid, nb, eb)
+
+
+def _rot_init_cache(consts, params):
+    """Initial warm-start messages: uniform beliefs, identity edge
+    messages.  These are a valid BP starting point (the reference's cold
+    start normalizes away the difference in its first sweep), so the first
+    cached evaluation matches the cold answer to the solver tolerance."""
+    n_res = int(consts["n_res"])
+    valid = np.asarray(consts["valid"])
+    if _use_pallas_bp(n_res):
+        from ..ops.pallas_bp import LANE
+        nb0 = np.zeros((LANE, MAX_ROT), np.float32)
+        nb0[:n_res] = valid.astype(np.float32)
+        eb0 = np.ones((MAX_ROT, LANE, LANE), np.float32)
+        return (jnp.asarray(nb0), jnp.asarray(eb0))
+    return (jnp.asarray(valid, jnp.float32),
+            jnp.ones((n_res, n_res, MAX_ROT), jnp.float32))
 
 
 def _rot_get_param(c, p):
@@ -235,7 +299,8 @@ def _rot_set_param(c, p, flat):
 
 
 rotamer = register_node("rotamer", True, _rotamer,
-                        get_param=_rot_get_param, set_param=_rot_set_param)
+                        get_param=_rot_get_param, set_param=_rot_set_param,
+                        init_cache=_rot_init_cache)
 
 
 def make_rotamer_consts(packed_ids, index, types, damping, max_iter, tol):
@@ -275,8 +340,9 @@ def rotamer_diagnostics(consts, params, inputs):
     """Diagnostics matching the reference's get_value_by_name channels
     (rotamer.cpp:675-773): per-residue free energies, 1-body energies,
     node/edge energies and marginals."""
-    E1, offset, prob, P, adj, valid = assemble_rotamer_energies(
+    E1, offset, prob, E2, adj, valid = assemble_rotamer_energies(
         consts, params, inputs)
+    P = jnp.exp(-E2)
     nb, eb = _bp_solve(prob, P, adj, valid, consts["damping"],
                        consts["max_iter"], consts["tol"])
 
@@ -326,9 +392,9 @@ def rotamer_marginals(consts, params, inputs):
     """Posterior node marginals per bead (for chi1 prediction diagnostics).
 
     Returns (node_marginals (n_res, 6), per-bead marginal (n_bead,))."""
-    _, _, prob, P, adj, valid = assemble_rotamer_energies(
+    _, _, prob, E2, adj, valid = assemble_rotamer_energies(
         consts, params, inputs)
-    nb, _ = _bp_solve(prob, P, adj, valid, consts["damping"],
+    nb, _ = _bp_solve(prob, jnp.exp(-E2), adj, valid, consts["damping"],
                       consts["max_iter"], consts["tol"])
     bead_marg = nb.reshape(-1)[consts["res"] * MAX_ROT + consts["rot"]]
     return nb, bead_marg

@@ -39,19 +39,26 @@ class System:
     # -- graph evaluation ----------------------------------------------------
 
     def evaluate(self, pos, params, inject: Optional[Dict] = None,
-                 extra: Optional[Dict] = None):
+                 extra: Optional[Dict] = None, cache: Optional[Dict] = None):
         """Run the graph.  Returns (total_potential, outputs, per_term).
 
         inject: optional {node_name: array} added to that node's output —
         used to extract output cotangents (reference 'sens') via jax.grad.
         extra:  step-dependent scalars (e.g. {'time': t} for the AFM node).
+        cache:  optional {node_name: pytree} of per-step solver state
+        (e.g. warm-start BP messages); nodes write their updated state into
+        extra['_cache_out'], which evaluate installs and the caller reads
+        back through energy_and_cache.
         """
-        extra = extra or {}
+        extra = dict(extra) if extra else {}
+        extra["_cache"] = cache or {}
+        extra.setdefault("_cache_out", {})
         outputs = {"pos": pos}
         per_term = {}
         for s in self.specs:
             inputs = [outputs[a] for a in s.args]
             p = params.get(s.name, {})
+            extra["_node_name"] = s.name
             out = s.node_type.compute(s.consts, p, inputs, extra)
             if s.node_type.is_potential:
                 per_term[s.name] = out
@@ -66,6 +73,37 @@ class System:
 
     def energy(self, pos, params, extra: Optional[Dict] = None):
         return self.evaluate(pos, params, extra=extra)[0]
+
+    # -- per-step solver state (warm starts) ---------------------------------
+
+    def init_cache(self) -> Dict:
+        """Initial per-node solver state for energy_and_cache (e.g. BP
+        warm-start messages).  Empty for graphs with no iterative nodes."""
+        cache = {}
+        for s in self.specs:
+            if s.node_type.init_cache is not None:
+                c0 = s.node_type.init_cache(s.consts, s.params)
+                if c0 is not None:
+                    cache[s.name] = c0
+        return cache
+
+    def energy_and_cache(self, pos, params, extra: Optional[Dict] = None,
+                         cache: Optional[Dict] = None):
+        """Like energy, but threads per-node solver state: takes the
+        previous step's cache and returns (energy, new_cache).  Warm
+        starts only change solver iteration counts, never converged
+        answers beyond tolerances, so grad-of-energy stays the physical
+        force.  The returned cache is stop_gradient'd by the nodes."""
+        extra = dict(extra) if extra else {}
+        cache_out: Dict = {}
+        extra["_cache_out"] = cache_out
+        total, _, _ = self.evaluate(pos, params, extra=extra, cache=cache)
+        # keep the cache pytree structure stable even if a node skipped
+        # writing (it must not, but a stable carry is worth the guard)
+        if cache:
+            for k, v in cache.items():
+                cache_out.setdefault(k, v)
+        return total, cache_out
 
     def deriv(self, pos, params):
         """d(potential)/d(pos) — the reference calls this 'deriv'; force is
