@@ -141,10 +141,16 @@ def diagnose_traj(path, ke_sigma=4.0):
             "hot_frames": hot.tolist()}
 
 
-def profile_nodes(system, params, pos, reps=20, include_grad=False):
+def profile_nodes(system, params, pos, reps=20):
     """Per-node wall time, the reference's COLLECT_PROFILE report
     (src/timing.cpp:11-53): each node's compute is jitted in isolation
     with its real inputs and timed; first invocation (compile) excluded.
+
+    Synchronization is a host value fetch, not block_until_ready — remote
+    execution backends report 'ready' while device work is still in
+    flight, so a host fetch is the only reliable timing barrier.  To keep
+    the fetch from dominating, each timed call reduces the node output to
+    one scalar on device and fetches that.
 
     Returns a list of (name, microseconds, percent) sorted by cost."""
     import time
@@ -161,17 +167,14 @@ def profile_nodes(system, params, pos, reps=20, include_grad=False):
 
         def f(inputs, p, s=s):
             out = s.node_type.compute(s.consts, p, inputs, {})
-            if include_grad and not s.node_type.is_potential:
-                return out
-            return out
+            return jnp.sum(out)
 
         fj = jax.jit(f)
-        y = fj(inputs, p)
-        jax.block_until_ready(y)
+        _ = float(fj(inputs, p))      # compile + warm, host-fetch sync
         t0 = time.perf_counter()
         for _ in range(reps):
             y = fj(inputs, p)
-        jax.block_until_ready(y)
+        _ = float(y)                  # hard sync: host value fetch
         dt = (time.perf_counter() - t0) / reps
         rows.append([s.name, dt * 1e6])
     total = sum(r[1] for r in rows)

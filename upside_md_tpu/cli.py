@@ -176,6 +176,36 @@ def main(argv=None):
     loggers = [H5Logger(c, args.log_level,
                         invocation=" ".join(sys.argv))
                for c in args.configs]
+    # per-node streams gated by --log-level (reference state_logger.h
+    # add_logger registrations; see io/streams.py for the inventory)
+    from .io.streams import make_stream_fn, n_hbond
+    stream_fn = make_stream_fn(system, args.log_level, batched=True)
+    has_hbond = any(s.node_type.name == "protein_hbond"
+                    for s in system.specs)
+
+    @jax.jit
+    def hbond_counts(pos_batch):
+        def one(p):
+            _, outputs, _ = system.evaluate(
+                p, loaded[0][1] if hamiltonian else params0)
+            c = n_hbond(system, outputs)
+            return c if c is not None else jnp.asarray(0.0)
+        return jax.vmap(one)(pos_batch)
+
+    # signal-safe shutdown (reference main.cpp:26-89, 610-674): finish the
+    # current chunk, flush every logger, restore handlers, re-raise
+    import signal
+    stop_requested = []
+    old_handlers = {}
+
+    def _request_stop(signum, frame):
+        stop_requested.append(signum)
+        print(f"\nreceived signal {signum}; finishing current chunk and "
+              "flushing logs", flush=True)
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        old_handlers[sig] = signal.signal(sig, _request_stop)
+    last_mc_stats = {}
     replica_index = jnp.arange(n_sys)
     beta = jnp.asarray([1.0 / t for t in temps], jnp.float32)
     if hamiltonian:
@@ -200,13 +230,32 @@ def main(argv=None):
                             hamiltonian)
         done = target
 
-        if done % frame_rounds == 0 or done == n_round:
+        if done % frame_rounds == 0 or done == n_round or stop_requested:
             if sim.do_recenter:
                 state = sim.recentered(state)
             kin = np.asarray(sim.kinetic_energy(state))
             pot = np.asarray(sim.potential_energy(state, params0, True,
                                                   hamiltonian))
             pos_np = np.asarray(state.pos)
+            streams = None
+            if stream_fn is not None:
+                extra = {"n_deriv_evals": 3 * done}
+                streams = {k: np.asarray(v) for k, v in stream_fn(
+                    state.pos, params0 if not hamiltonian else loaded[0][1],
+                    extra).items()}
+            hb = (np.asarray(hbond_counts(state.pos)) if has_hbond
+                  else None)
+            # per-frame MC stats with reset semantics
+            # (monte_carlo_sampler.h:28-37)
+            mc_streams = {}
+            for mc_name, stats in (("pivot", state.pivot_stats),
+                                   ("jump", state.jump_stats)):
+                if (pivot if mc_name == "pivot" else jump) is None:
+                    continue
+                cur = np.asarray(stats)
+                prev = last_mc_stats.get(mc_name, np.zeros_like(cur))
+                mc_streams[f"{mc_name}_stats"] = (cur - prev).astype(np.int32)
+                last_mc_stats[mc_name] = cur
             for ns, lg in enumerate(loggers):
                 lg.log_frame("pos", pos_np[ns][None])
                 lg.log_frame("kinetic", np.array([kin[ns]]))
@@ -216,12 +265,30 @@ def main(argv=None):
                              np.array([np.asarray(state.temperature)[ns]]))
                 lg.log_frame("replica_index",
                              np.array([int(np.asarray(replica_index)[ns])]))
+                if streams is not None:
+                    for name, val in streams.items():
+                        lg.log_frame(name, val[ns])
+                for name, val in mc_streams.items():
+                    lg.log_frame(name, val[ns])
+                if rex_stats is not None:
+                    # (n_swap_pairs, 2) across all sets (main.cpp:211-218)
+                    lg.log_frame("replica_cumulative_swaps",
+                                 np.concatenate(
+                                     [np.asarray(s) for s in rex_stats]
+                                 ).astype(np.int64))
             if args.verbose:
                 rg = np.sqrt(((pos_np[0] - pos_np[0].mean(0)) ** 2
                               ).sum(-1).mean())
+                temp0 = float(np.asarray(state.temperature).reshape(-1)[0])
+                hb_txt = f"{float(hb[0]):5.1f} hbonds, " if hb is not None \
+                    else ""
                 print(f"{done * 3 * dt:.0f} / {args.duration:.0f} "
+                      f"temp {temp0:.2f} {hb_txt}"
                       f"Rg {rg:5.1f} A, potential {pot[0]: 8.2f}",
                       flush=True)
+
+        if stop_requested:
+            break
 
         if replica_interval and done % replica_interval == 0 and rex:
             key = stream_key(args.seed, REPLICA_EXCHANGE_STREAM, done)
@@ -254,6 +321,16 @@ def main(argv=None):
         js = np.asarray(state.jump_stats)
         acc = js[..., 0].sum() / max(js[..., 1].sum(), 1)
         print(f"jump_success: {acc:.4f}")
+
+    # restore handlers; re-raise the deferred signal so callers see the
+    # standard death-by-signal status (main.cpp:73-86)
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
+    if stop_requested:
+        print(f"exiting after signal {stop_requested[0]} "
+              f"(all {done}-round frames flushed)", flush=True)
+        signal.signal(stop_requested[0], signal.SIG_DFL)
+        signal.raise_signal(stop_requested[0])
     return 0
 
 

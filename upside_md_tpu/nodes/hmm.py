@@ -47,6 +47,38 @@ def _fixed_hmm(consts, params, inputs, extra):
     return pot - jnp.sum(lognorms)
 
 
+def hmm_energy_decomposition(consts, params, inputs):
+    """(total, per-residue) potential decomposition: the reference's
+    'hmm_energy' / 'hmm_energy_1body' logging streams (hmm.cpp:94-103).
+    Per-residue terms sum to the potential ('missing the mutual
+    information correction' in the reference's words): residue r
+    contributes its emission offset minus its forward normalization, plus
+    the transition offset for r > 0."""
+    e1b = inputs[0][consts["index"]]
+    te = params["transition_energy"]
+    e_min = jnp.min(te)
+    w = jnp.exp(e_min - te)
+    offset = jnp.sum(te * w) / jnp.sum(w)
+    T = jnp.exp(offset - te)
+
+    e_min_res = jnp.min(e1b, axis=1)
+    emission = jnp.exp(e_min_res[:, None] - e1b)
+
+    def step(carry, em):
+        forward, i = carry
+        forward = jnp.where(i > 0, forward @ T, forward)
+        forward = forward * em
+        norm = jnp.sum(forward)
+        return (forward / norm, i + 1), jnp.log(norm)
+
+    init = (jnp.ones((e1b.shape[1],), e1b.dtype), jnp.asarray(0))
+    _, lognorms = jax.lax.scan(step, init, emission)
+    n_res = e1b.shape[0]
+    per_res = (e_min_res - lognorms +
+               offset * (jnp.arange(n_res) > 0).astype(e1b.dtype))
+    return jnp.sum(per_res), per_res
+
+
 def _hmm_get_param(c, p):
     return np.asarray(p["transition_energy"]).ravel().astype(np.float32)
 

@@ -92,3 +92,18 @@ def _contact(consts, params, inputs, extra):
 
 
 contact = register_node("contact", True, _contact)
+
+
+def contact_energy_per_bead(consts, params, inputs):
+    """Per-bead contact energy (half of each pair's energy on both beads):
+    the reference's 'contact_energy' stream (sidechain_radial.cpp:171-183)."""
+    x = inputs[0]
+    ids = consts["id"]
+    disp = x[ids[:, 0], 0:3] - x[ids[:, 1], 0:3]
+    dist = jnp.sqrt(jnp.sum(disp * disp, -1))
+    v, _ = compact_sigmoid(dist - params["distance"], 1.0 / params["width"])
+    en = params["energy"] * v
+    out = jnp.zeros((x.shape[0],), en.dtype)
+    out = out.at[ids[:, 0]].add(0.5 * en)
+    out = out.at[ids[:, 1]].add(0.5 * en)
+    return out

@@ -25,6 +25,18 @@ def rama_to_grid(rama, n_grid):
     return (rama + np.pi) * scale
 
 
+def rama_map_pot_per_residue(consts, params, inputs):
+    """Per-residue map potential, the reference's 'rama_map_potential'
+    logging stream (rama_map_pot.cpp:50-54)."""
+    rama = inputs[0][consts["residue_id"]]
+    coeffs = params["coeffs"]
+    layer = consts["rama_map_id"]
+    x = rama_to_grid(rama[:, 0], coeffs.shape[-2])
+    y = rama_to_grid(rama[:, 1], coeffs.shape[-1])
+    val, _, _ = eval_periodic_bspline_2d(coeffs[layer], x, y)
+    return val
+
+
 def _rama_map_pot(consts, params, inputs, extra):
     rama = inputs[0][consts["residue_id"]]   # (n_res, 2)
     coeffs = params["coeffs"]                 # (n_layer, nx, ny)
