@@ -63,3 +63,37 @@ def test_gradients_match_xla(rng):
     for a, b, name in zip(g_pl, g_ref, ("x1", "x2", "table")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, err_msg=name)
+
+
+def test_vmap_replica_blocking_matches_per_replica(rng):
+    """vmap over positions routes to the replica-blocked kernel grid
+    (custom_vmap); values and gradients must equal per-replica calls."""
+    x1, x2, t1, t2, table, mask, ka, k = setup(rng, n1=30, n2=40)
+    inv_dx = 1.0
+    n_rep = 5   # deliberately not a multiple of the replica block
+    x1b = jnp.stack([x1 + 0.05 * r for r in range(n_rep)])
+    x2b = jnp.stack([x2 - 0.03 * r for r in range(n_rep)])
+    w = jnp.asarray(rng.normal(size=(n_rep, 30, 40)))
+
+    def one(x1_, x2_):
+        return quadspline_pallas((ka, k, inv_dx), True, table, t1, t2,
+                                 x1_, x2_, mask)
+
+    out_b = jax.vmap(one)(x1b, x2b)
+    for r in range(n_rep):
+        np.testing.assert_allclose(np.asarray(out_b[r]),
+                                   np.asarray(one(x1b[r], x2b[r])),
+                                   atol=1e-6)
+
+    def loss_b(x1b_, x2b_):
+        return jnp.sum(w * jax.vmap(one)(x1b_, x2b_))
+
+    def loss_seq(x1b_, x2b_):
+        return sum(jnp.sum(w[r] * one(x1b_[r], x2b_[r]))
+                   for r in range(n_rep))
+
+    g_b = jax.grad(loss_b, argnums=(0, 1))(x1b, x2b)
+    g_s = jax.grad(loss_seq, argnums=(0, 1))(x1b, x2b)
+    for a, b, name in zip(g_b, g_s, ("x1", "x2")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, err_msg=name)

@@ -22,6 +22,16 @@ def compute_chi1_state(chi1):
 
 
 class Chi1Predict:
+    """Map rotamer-state posteriors to chi1-bin probabilities.
+
+    The sidechain library's restype_and_chi_and_state table assigns every
+    library rotamer state a chi1 angle; states bucket into the three
+    120-degree chi1 wells.  Internally this is a dense lookup
+    state_to_bin[restype, state] -> bin, so prediction is one vectorized
+    scatter-add over beads (the reference builds per-restype partition
+    lists instead, py/predict_chi1.py:17-56 — same observable results,
+    checked by tests/test_chi1.py)."""
+
     def __init__(self, sidechain_file):
         with h5py.File(sidechain_file, 'r') as t:
             restype_order = [b.decode() if isinstance(b, bytes) else str(b)
@@ -29,39 +39,46 @@ class Chi1Predict:
             self.restype_dict = {x: i for i, x in enumerate(restype_order)}
             self.n_restype = len(self.restype_dict)
             self.restype_dict['CPR'] = self.restype_dict['PRO']
-            self.restype_and_chi_and_state = np.asarray(
-                t['restype_and_chi_and_state'])
+            table = np.asarray(t['restype_and_chi_and_state'])
 
-        x = self.restype_and_chi_and_state
-        chi1_state_ref = compute_chi1_state(x[:, 1])
+        rt = table[:, 0].astype(int)
+        state = table[:, -1].astype(int)
+        bins = compute_chi1_state(table[:, 1])
+        self.n_state = int(state.max()) + 1
+        self.state_to_bin = np.full((self.n_restype, self.n_state), -1,
+                                    dtype=int)
+        self.state_to_bin[rt, state] = bins
+        # kept for API/debugging parity with the reference's partition view
         self.chi1_partition = {
-            aa: [np.array(sorted(set(
-                x[(x[:, 0] == self.restype_dict[aa]) &
-                  (chi1_state_ref == j), -1].astype('i'))))
-                for j in range(3)]
-            for aa in sorted(self.restype_dict)}
-        self.chi1_partition['CPR'] = self.chi1_partition['PRO']
+            aa: [np.flatnonzero(self.state_to_bin[i] == j) for j in range(3)]
+            for aa, i in self.restype_dict.items()}
 
     def predict_chi1(self, seq, residue, rotamer_posterior_prob):
-        """seq: 3-letter sequence; residue: per-bead residue index;
-        rotamer_posterior_prob: per-bead posterior marginal."""
+        """seq: 3-letter sequence; residue: per-bead residue index (beads
+        of one residue appear in library-state order); returns per-residue
+        chi1-bin probabilities (n_res, 3)."""
         residue = np.asarray(residue)
-        rotamer_posterior_prob = np.asarray(rotamer_posterior_prob)
-        out = []
-        for resnum, aa in enumerate(seq):
-            if aa in ('ALA', 'GLY'):
-                out.append(np.array([1.0, 0.0, 0.0]))
-            else:
-                probs = rotamer_posterior_prob[residue == resnum]
-                out.append(np.array([probs[s].sum()
-                                     for s in self.chi1_partition[aa]]))
-        return np.array(out, dtype='f4')
+        prob = np.asarray(rotamer_posterior_prob)
+        res_rt = np.array([self.restype_dict[aa] for aa in seq])
+        # per-bead library-state slot = rank within its residue
+        first = np.concatenate([[0], np.flatnonzero(np.diff(residue)) + 1])
+        slot = np.arange(len(residue)) - first[
+            np.searchsorted(residue[first], residue)]
+        bead_bin = self.state_to_bin[res_rt[residue], slot]
+
+        out = np.zeros((len(seq), 3), dtype='f4')
+        np.add.at(out, (residue, bead_bin), prob.astype('f4'))
+        fixed = np.isin(np.asarray(seq), ('ALA', 'GLY'))
+        out[fixed] = (1.0, 0.0, 0.0)
+        return out
 
     def compute_zero_one_stats(self, seq, chi1_prob, chi1_states):
+        rt = np.array([self.restype_dict[aa] for aa in seq])
+        hit = (np.argmax(np.asarray(chi1_prob), axis=1) ==
+               np.asarray(chi1_states)).astype('i8')
         results = np.zeros((self.n_restype, 2), dtype='i8')
-        for aa, p, state in zip(seq, chi1_prob, chi1_states):
-            results[self.restype_dict[aa], 0] += int(np.argmax(p) == state)
-            results[self.restype_dict[aa], 1] += 1
+        np.add.at(results[:, 0], rt, hit)
+        np.add.at(results[:, 1], rt, 1)
         return results
 
 

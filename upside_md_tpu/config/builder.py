@@ -609,36 +609,39 @@ class ConfigBuilder:
             cov_midpoint = np.asarray(lib['cov_midpoint'])
             cov_sharpness = np.asarray(lib['cov_sharpness'])
 
-        def extrapolated_spline(x0, y0):
-            spline = scipy.interpolate.InterpolatedUnivariateSpline(x0, y0)
-
-            def f(x):
-                return np.select(
-                    [x < x0[0], x > x0[-1], np.ones_like(x, bool)],
-                    [np.zeros_like(x) + y0[0], np.zeros_like(x) + y0[-1],
-                     spline(x)])
-            return f
+        # Thickness rescale contract (pinned by tests): each leaflet's
+        # z-profile translates rigidly toward/away from z=0 by half the
+        # thickness difference.  Thicker target: the gap at the center is
+        # filled with the library's midplane value.  Thinner target: the
+        # leaflets overlap, and the mismatch at z=0 is split symmetrically
+        # so the profile stays continuous there.  Beyond the library range
+        # the profile extends flat.  Same observable behavior as
+        # upside_config.py:1064-1120.
+        def eval_flat_ends(energies, z_lib, zq):
+            """Evaluate every profile (cubic interpolating spline) at the
+            query points, clamped to the boundary values outside."""
+            zc = np.clip(zq, z_lib[0], z_lib[-1])
+            return np.stack([
+                scipy.interpolate.InterpolatedUnivariateSpline(z_lib, e)(zc)
+                for e in energies])
 
         def rescale(energies, z_lib):
-            splines = [extrapolated_spline(z_lib, e) for e in energies]
-            ht, dht = membrane_thickness / 2.0, thickness / 2.0
-            z = np.linspace(-ht - 15.0, ht + 15.0,
+            half_t, half_lib = membrane_thickness / 2.0, thickness / 2.0
+            z = np.linspace(-half_t - 15.0, half_t + 15.0,
                             int((membrane_thickness + 30.0) / 0.25) + 1)
-            out = np.zeros((len(splines), len(z)))
-            for i, spl in enumerate(splines):
-                if ht < dht:
-                    dt = dht - ht
-                    dsym = spl(dt) - spl(-dt)
-                    out[i] = np.select([z < 0, z >= 0],
-                                       [spl(z - dt) + 0.5 * dsym,
-                                        spl(z + dt) - 0.5 * dsym])
-                elif ht > dht:
-                    dt = ht - dht
-                    out[i] = np.select(
-                        [z < -dt, (z >= -dt) & (z <= dt), z > dt],
-                        [spl(z + dt), spl(np.zeros_like(z)), spl(z - dt)])
-                else:
-                    out[i] = spl(z)
+            shift = half_lib - half_t
+            if shift > 0:       # thinner target: overlapping leaflets
+                zq = z + np.where(z < 0, -shift, shift)
+                out = eval_flat_ends(energies, z_lib, zq)
+                ends = eval_flat_ends(energies, z_lib,
+                                      np.array([shift, -shift]))
+                dsym = (ends[:, 0] - ends[:, 1])[:, None]
+                out += np.where(z < 0, 0.5, -0.5) * dsym
+            elif shift < 0:     # thicker target: flat midplane infill
+                zq = np.clip(np.abs(z) + shift, 0.0, None) * np.sign(z)
+                out = eval_flat_ends(energies, z_lib, zq)
+            else:
+                out = eval_flat_ends(energies, z_lib, z)
             return out, z
 
         cb_z_lib = np.linspace(cb_z_min, cb_z_max, cb_energy.shape[-1])
@@ -789,63 +792,77 @@ class ConfigBuilder:
         return path
 
 
-# -- rama library reading (upside_config.py:567-639) -------------------------
+# -- rama dimer library ------------------------------------------------------
+# Semantic contract (pinned by tests/test_rama_library.py): every interior
+# residue's map combines its two dimer contexts, either as the free energy
+# of a weight-Boltzmann mixture or by the product rule; terminal residues
+# take their single context; every map is normalized to unit partition.
+# Same observable behavior as the reference config generator
+# (upside_config.py:567-639); formulated here as vectorized table lookups.
 
 def mixture_potential(weights, potentials):
-    potentials = np.array(potentials)
-    weights = np.array(weights, dtype=np.float64)
-    weights = weights / weights.sum(axis=0)
-    wshape = weights.shape + (1,) * (len(potentials.shape) -
-                                     len(weights.shape))
-    potentials = potentials - np.log(weights.reshape(wshape))
-    min_pot = potentials.min(axis=0)
-    return min_pot - np.log(np.exp(min_pot - potentials).sum(axis=0))
+    """Free energy of a Boltzmann mixture of component free energies:
+    -log sum_k w_k exp(-F_k) with the component weights normalized, via a
+    max-shifted (stable) logsumexp."""
+    F = np.asarray(potentials, np.float64)
+    w = np.asarray(weights, np.float64)
+    logw = np.log(w / w.sum(axis=0))
+    a = logw.reshape(logw.shape + (1,) * (F.ndim - logw.ndim)) - F
+    amax = a.max(axis=0)
+    return -(amax + np.log(np.exp(a - amax).sum(axis=0)))
 
 
 def read_rama_maps_and_weights(seq, rama_group, mode='mixture',
                                allow_CPR=True):
-    restype = [b.decode() if isinstance(b, bytes) else str(b)
-               for b in rama_group.attrs['restype']]
-    dirtype = [b.decode() if isinstance(b, bytes) else str(b)
-               for b in rama_group.attrs['dir']]
-    ridx_dict = {x: i for i, x in enumerate(restype)}
-    didx = {x: i for i, x in enumerate(dirtype)}
+    """Per-residue (n_res, nx, ny) Rama maps from a dimer library group.
 
-    def ridx(resname, keep_cpr=True):
-        return (ridx_dict[resname] if resname != 'CPR' or keep_cpr
-                else ridx_dict['PRO'])
-
-    dimer_pot = np.asarray(rama_group['dimer_pot'])
-    dimer_weight = np.asarray(rama_group['dimer_weight'])
+    The library tabulates dimer maps pot[center, dir, neighbor]; cis-Pro
+    ('CPR') centers fall back to 'PRO' unless the library distinguishes
+    them (allow_CPR); CPR as a *neighbor* always reads as 'PRO'."""
     assert len(seq) >= 3
+    names = [b.decode() if isinstance(b, bytes) else str(b)
+             for b in rama_group.attrs['restype']]
+    dirs = [b.decode() if isinstance(b, bytes) else str(b)
+            for b in rama_group.attrs['dir']]
+    index = {name: i for i, name in enumerate(names)}
+    LEFT, RIGHT = dirs.index('left'), dirs.index('right')
 
-    def V(r, d, n):
-        return dimer_pot[ridx(r, allow_CPR), didx[d], ridx(n, False)]
+    def as_center(r):
+        return index['PRO' if (r == 'CPR' and not allow_CPR) else r]
 
-    def W(r, d, n):
-        return dimer_weight[ridx(r, allow_CPR), didx[d], ridx(n, False)]
+    center = np.array([as_center(r) for r in seq])
+    nbr = np.array([index['PRO' if r == 'CPR' else r] for r in seq])
 
-    pots = np.zeros((len(seq),) + dimer_pot.shape[-2:], dtype='f4')
-    weights = np.zeros(len(seq), dtype='f4')
-    pots[0] = V(seq[0], 'right', seq[1])
-    weights[0] = W(seq[0], 'right', seq[1])
-    for i in range(1, len(seq) - 1):
-        l, c, r = seq[i - 1], seq[i], seq[i + 1]
-        if mode == 'product':
-            pots[i] = V(c, 'left', l) + V(c, 'right', r) - V(c, 'right', 'ALL')
-            weights[i] = 0.5 * (W(c, 'left', l) + W(c, 'right', r))
-        else:
-            pots[i] = mixture_potential([W(c, 'left', l), W(c, 'right', r)],
-                                        [V(c, 'left', l), V(c, 'right', r)])
-            weights[i] = 0.5 * (W(c, 'left', l) + W(c, 'right', r))
-    pots[-1] = V(seq[-1], 'left', seq[-2])
-    weights[-1] = W(seq[-1], 'left', seq[-2])
-    pots -= -np.log(np.exp(-1.0 * pots).sum(axis=(-2, -1), keepdims=True))
+    pot = np.asarray(rama_group['dimer_pot'])
+    wgt = np.asarray(rama_group['dimer_weight'])
+    # right-context of residues 0..n-2 and left-context of residues 1..n-1
+    Vr, Wr = pot[center[:-1], RIGHT, nbr[1:]], wgt[center[:-1], RIGHT, nbr[1:]]
+    Vl, Wl = pot[center[1:], LEFT, nbr[:-1]], wgt[center[1:], LEFT, nbr[:-1]]
+
+    n = len(seq)
+    pots = np.empty((n,) + pot.shape[-2:], dtype='f4')
+    weights = np.empty(n, dtype='f4')
+    pots[0], weights[0] = Vr[0], Wr[0]
+    pots[-1], weights[-1] = Vl[-1], Wl[-1]
+    # interior residue i: left context Vl[i-1], right context Vr[i]
+    left_V, left_W = Vl[:-1], Wl[:-1]
+    right_V, right_W = Vr[1:], Wr[1:]
+    if mode == 'product':
+        marginal = pot[center[1:-1], RIGHT, index['ALL']]
+        pots[1:-1] = left_V + right_V - marginal
+    else:
+        pots[1:-1] = mixture_potential(np.stack([left_W, right_W]),
+                                       np.stack([left_V, right_V]))
+    weights[1:-1] = 0.5 * (left_W + right_W)
+    # normalize each residue's map to a unit partition function
+    pots += np.log(np.exp(-pots).sum(axis=(-2, -1), keepdims=True))
     return pots, weights
 
 
 def read_weighted_maps(seq, rama_library_h5, sheet_mixing=None,
                        mode='mixture'):
+    """Coil maps, optionally Boltzmann-mixed with sheet maps whose weights
+    are scaled by exp(-sheet_mixing) (upside_config.py:627-639)."""
     with h5py.File(rama_library_h5, 'r') as tr:
         coil_pots, coil_weights = read_rama_maps_and_weights(
             seq, tr['coil'], mode=mode)
@@ -854,8 +871,8 @@ def read_weighted_maps(seq, rama_library_h5, sheet_mixing=None,
         sheet_pots, sheet_weights = read_rama_maps_and_weights(
             seq, tr['sheet'], allow_CPR=False)
     return mixture_potential(
-        [coil_weights, sheet_weights * np.exp(-sheet_mixing)],
-        [coil_pots, sheet_pots])
+        np.stack([coil_weights, sheet_weights * np.exp(-sheet_mixing)]),
+        np.stack([coil_pots, sheet_pots]))
 
 
 def apply_secstr_bias(rama_pot, entries):

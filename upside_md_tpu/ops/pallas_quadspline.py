@@ -6,13 +6,22 @@ B-splines (reference src/bead_interaction.h:30-84).  The XLA formulation
 materializes (n1, n2, n_knot)-sized window-weight intermediates in HBM
 every evaluation; this kernel keeps them in VMEM:
 
-* per (128 x 128) pair tile, the per-pair parameter slab is produced by
+* per (128 x 128) pair tile, the per-pair parameter plane of each knot is
   ONE MXU matmul of the group-1 type one-hots against a pre-transposed,
   position-independent (n_type, M, n2) table (hoisted out of MD loops),
 * the dense knot-axis contraction runs as an in-register loop over M with
-  on-the-fly window weights — nothing of size (n1, n2, M) touches HBM,
+  on-the-fly window weights — nothing of size (n1, n2, M) touches HBM.
+  The wide and narrow distance segments share one fused knot loop (same
+  coordinate, same taps, two accumulators),
+* a replica ensemble runs as a replica-block grid dimension
+  (jax.custom_batching.custom_vmap): position data is blocked (RB
+  replicas per grid step) while the type one-hots, parameter table and
+  exclusion mask stay SHARED across the ensemble instead of being
+  broadcast per replica by the default vmap rule,
 * the backward pass is a second kernel implementing the reference's
-  analytic derivative partition (bead_interaction.h:61-73); parameter-
+  analytic derivative partition (bead_interaction.h:61-73); group-1
+  cotangents accumulate in-place across j-tiles (the innermost grid
+  dimension) so only group-2 needs a small XLA reduction.  Parameter-
   table cotangents come from an XLA einsum that XLA dead-code eliminates
   in MD (only position gradients are consumed there).
 
@@ -30,6 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
+RB_FWD = 4    # replicas per forward grid step (VMEM-bounded)
+RB_BWD = 2    # replicas per backward grid step (more live tensors)
 SIXTH = (1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0)
 
 
@@ -37,12 +48,14 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _window_accumulate(x_coord, n_knot, clamped, get_C, seg_off,
+def _window_accumulate(x_coord, n_knot, clamped, get_C, seg_offs,
                        want_deriv):
-    """Value (and optionally d/dx) of one spline segment for every pair in
-    the tile.  get_C(global_m) returns the (TI, TJ) per-pair parameter
-    plane of knot m, built on the fly from type one-hots — nothing of size
-    (TI, TJ, M) is ever materialized."""
+    """Values (and optionally d/dx) of one or more spline segments sharing
+    the coordinate `x_coord` (any shape; the (RB, TI, TJ) replica block in
+    the batched kernel).  get_C(global_m) returns the (TI, TJ) per-pair
+    parameter plane of knot m, built on the fly from type one-hots —
+    nothing of size (TI, TJ, M) is ever materialized.  Segments listed in
+    seg_offs share taps and selects; only the C-plane FMAs differ."""
     n = n_knot
     lo, hi = 1.0, float(n - 2)
     xc = jnp.clip(x_coord, lo, hi)
@@ -61,10 +74,9 @@ def _window_accumulate(x_coord, n_knot, clamped, get_C, seg_off,
         too_small = x_coord <= lo
         too_big = x_coord >= hi
 
-    val = jnp.zeros_like(x_coord)
-    der = jnp.zeros_like(x_coord)
+    vals = [jnp.zeros_like(x_coord) for _ in seg_offs]
+    ders = [jnp.zeros_like(x_coord) for _ in seg_offs]
     for m in range(n):
-        C_m = get_C(seg_off + m)
         rel = m - i
         wm = jnp.zeros_like(x_coord)
         dm = jnp.zeros_like(x_coord)
@@ -80,21 +92,25 @@ def _window_accumulate(x_coord, n_knot, clamped, get_C, seg_off,
                            SIXTH[m - (n - 3)] if m >= n - 3 else 0.0, wm)
             if want_deriv:
                 dm = jnp.where(too_small | too_big, 0.0, dm)
-        val = val + wm * C_m
-        if want_deriv:
-            der = der + dm * C_m
-    return val, der
+        for si, off in enumerate(seg_offs):
+            C_m = get_C(off + m)
+            if x_coord.ndim == 3:
+                C_m = C_m[None]
+            vals[si] = vals[si] + wm * C_m
+            if want_deriv:
+                ders[si] = ders[si] + dm * C_m
+    return vals, ders
 
 
 def _geometry(x1_ref, x2t_ref):
-    """Pair geometry from (TI, 8) group-1 rows and the (8, TJ) transposed
-    group-2 block: all (TI,1) x (1,TJ) broadcasts — no in-kernel gathers
-    or transposes (Mosaic lowers those poorly)."""
-    d1 = [x1_ref[:, c:c + 1] for c in (3, 4, 5)]        # each (TI, 1)
-    d2 = [x2t_ref[c:c + 1, :] for c in (3, 4, 5)]       # each (1, TJ)
-    dx = x2t_ref[0:1, :] - x1_ref[:, 0:1]
-    dy = x2t_ref[1:2, :] - x1_ref[:, 1:2]
-    dz = x2t_ref[2:3, :] - x1_ref[:, 2:3]
+    """Pair geometry from (RB, TI, 8) group-1 rows and the (RB, 8, TJ)
+    transposed group-2 block: all (RB,TI,1) x (RB,1,TJ) broadcasts — no
+    in-kernel gathers or transposes (Mosaic lowers those poorly)."""
+    d1 = [x1_ref[:, :, c:c + 1] for c in (3, 4, 5)]       # each (RB, TI, 1)
+    d2 = [x2t_ref[:, c:c + 1, :] for c in (3, 4, 5)]      # each (RB, 1, TJ)
+    dx = x2t_ref[:, 0:1, :] - x1_ref[:, :, 0:1]
+    dy = x2t_ref[:, 1:2, :] - x1_ref[:, :, 1:2]
+    dz = x2t_ref[:, 2:3, :] - x1_ref[:, :, 2:3]
     dist2 = dx * dx + dy * dy + dz * dz + 1e-12
     inv_dist = jax.lax.rsqrt(dist2)
     dist = dist2 * inv_dist
@@ -106,8 +122,8 @@ def _geometry(x1_ref, x2t_ref):
 
 def _make_get_C(oh1_ref, t2t_ref, A):
     """Closure producing the (TI, TJ) parameter plane of knot m:
-    C_m = sum_a oh1[:, a] (x) t2flat[m*A + a, :].  All broadcast FMAs on
-    VPU lanes; the t2flat rows are static slices of the m-major table."""
+    C_m = oh1 @ t2flat[m*A:(m+1)*A] — one small MXU matmul per knot,
+    shared across the RB replicas of the grid step."""
     def get_C(m):
         slab = t2t_ref[m * A:(m + 1) * A, :]          # (A, TJ) static slice
         return jnp.dot(oh1_ref[:, :], slab,
@@ -122,17 +138,17 @@ def _fwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
     get_C = _make_get_C(oh1_ref, t2t_ref, A)
 
     s = dist * inv_dx
-    a1, _ = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka, False,
-                               get_C, 0, False)
-    a2, _ = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka, False,
-                               get_C, ka, False)
-    wide, _ = _window_accumulate(s, k, True, get_C, 2 * ka, False)
-    narrow, _ = _window_accumulate(s, k, True, get_C, 2 * ka + k, False)
-    live = (mask_ref[:, :] > 0) & (s < (k - 2 - 1e-6))
-    out_ref[:, :] = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
+    (a1,), _ = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
+                                  False, get_C, (0,), False)
+    (a2,), _ = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
+                                  False, get_C, (ka,), False)
+    (wide, narrow), _ = _window_accumulate(s, k, True, get_C,
+                                           (2 * ka, 2 * ka + k), False)
+    live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
+    out_ref[:, :, :] = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
 
 
-def _bwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
+def _bwd_kernel(ka, k, inv_dx, A, n_j, x1_ref, x2t_ref, oh1_ref, t2t_ref,
                 mask_ref, g_ref, d1_ref, d2_ref):
     inv_dtheta = (ka - 3) / 2.0
     dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
@@ -140,16 +156,16 @@ def _bwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
     get_C = _make_get_C(oh1_ref, t2t_ref, A)
 
     s = dist * inv_dx
-    a1, da1 = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka, False,
-                                 get_C, 0, True)
-    a2, da2 = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka, False,
-                                 get_C, ka, True)
-    wide, dwide = _window_accumulate(s, k, True, get_C, 2 * ka, True)
-    narrow, dnarrow = _window_accumulate(s, k, True, get_C, 2 * ka + k,
-                                         True)
+    (a1,), (da1,) = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
+                                       False, get_C, (0,), True)
+    (a2,), (da2,) = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
+                                       False, get_C, (ka,), True)
+    (wide, narrow), (dwide, dnarrow) = _window_accumulate(
+        s, k, True, get_C, (2 * ka, 2 * ka + k), True)
+    del wide
 
-    live = (mask_ref[:, :] > 0) & (s < (k - 2 - 1e-6))
-    g = jnp.where(live, g_ref[:, :], 0.0)
+    live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
+    g = jnp.where(live, g_ref[:, :, :], 0.0)
     # reference derivative partition (bead_interaction.h:61-73)
     radial = g * (dwide + a1 * a2 * dnarrow) * inv_dx
     c1 = g * da1 * inv_dtheta * a2 * narrow
@@ -161,33 +177,49 @@ def _bwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
     gy = radial * uy + f1 * (dir1[1] - cos1 * uy) - f2 * (dir2[1] + cos2 * uy)
     gz = radial * uz + f1 * (dir1[2] - cos1 * uz) - f2 * (dir2[2] + cos2 * uz)
 
-    # d_pos1 = -sum_j d_pos2; d_dir1 = sum_j c1*u.  Stored as per-tile
-    # partials (reduced over j-tiles in XLA) so the kernel is stateless
-    # across grid steps — safe under vmap, which prepends a batch grid
-    # axis and would shift any pl.program_id-based accumulation logic.
+    # d_pos1 = -sum_j d_pos2; d_dir1 = sum_j c1*u.  j is the innermost
+    # grid dimension, so the (rb, i) output block is revisited across
+    # consecutive steps and can accumulate in place.
+    j = pl.program_id(2)
+    cols = []
     for c, arr, sgn in ((0, gx, -1.0), (1, gy, -1.0), (2, gz, -1.0),
                         (3, c1 * ux, 1.0), (4, c1 * uy, 1.0),
                         (5, c1 * uz, 1.0)):
-        d1_ref[0, :, c:c + 1] = sgn * jnp.sum(arr, 1, keepdims=True)
-    d1_ref[0, :, 6:7] = jnp.zeros_like(d1_ref[0, :, 6:7])
-    d1_ref[0, :, 7:8] = jnp.zeros_like(d1_ref[0, :, 7:8])
+        cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
+    cols.append(jnp.zeros_like(cols[0]))
+    cols.append(jnp.zeros_like(cols[0]))
+    block = jnp.concatenate(cols, axis=2)          # (RB, TI, 8)
 
-    # d_pos2 rows (summed over i) land in the (1, 8, TJ) per-tile output
+    @pl.when(j == 0)
+    def _():
+        d1_ref[:, :, :] = block
+
+    @pl.when(j > 0)
+    def _():
+        d1_ref[:, :, :] = d1_ref[:, :, :] + block
+
+    # d_pos2 rows (summed over i) land in per-i-tile partials (reduced in
+    # XLA): the i dimension is not consecutive in this grid order.
+    rows = []
     for c, arr, sgn in ((0, gx, 1.0), (1, gy, 1.0), (2, gz, 1.0),
                         (3, c2 * ux, -1.0), (4, c2 * uy, -1.0),
                         (5, c2 * uz, -1.0)):
-        d2_ref[0, c:c + 1, :] = sgn * jnp.sum(arr, 0, keepdims=True)
-    d2_ref[0, 6:7, :] = jnp.zeros_like(d2_ref[0, 6:7, :])
-    d2_ref[0, 7:8, :] = jnp.zeros_like(d2_ref[0, 7:8, :])
+        rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
+    rows.append(jnp.zeros_like(rows[0]))
+    rows.append(jnp.zeros_like(rows[0]))
+    d2_ref[0, :, :, :] = jnp.concatenate(rows, axis=1)   # (1, RB, 8, TJ)
 
 
 def _prep(table, t1, t2, x1, x2, mask):
-    """Pad to tiles and precompute the position-independent operands."""
+    """Pad to tiles and precompute the position-independent operands.
+    x1, x2 carry a leading replica axis."""
     A, B, M = table.shape
-    n1, n2 = x1.shape[0], x2.shape[0]
+    n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
     n1p, n2p = _round_up(n1, TILE), _round_up(n2, TILE)
-    x1p = jnp.pad(x1[:, :6].astype(jnp.float32), ((0, n1p - n1), (0, 2)))
-    x2p = jnp.pad(x2[:, :6].astype(jnp.float32).T, ((0, 2), (0, n2p - n2)))
+    x1p = jnp.pad(x1[:, :, :6].astype(jnp.float32),
+                  ((0, 0), (0, n1p - n1), (0, 2)))
+    x2p = jnp.pad(jnp.swapaxes(x2[:, :, :6].astype(jnp.float32), 1, 2),
+                  ((0, 0), (0, 2), (0, n2p - n2)))
     oh1 = jax.nn.one_hot(t1, A, dtype=jnp.float32)
     oh1 = jnp.pad(oh1, ((0, n1p - n1), (0, 0)))
     oh2 = jax.nn.one_hot(t2, B, dtype=jnp.float32)
@@ -201,23 +233,159 @@ def _prep(table, t1, t2, x1, x2, mask):
     return x1p, x2p, oh1, t2t, maskp, n1p, n2p
 
 
-def _specs(A, M, with_g):
-    specs = [
-        pl.BlockSpec((TILE, 8), lambda i, j: (i, 0),
+def _pad_reps(x, rb):
+    n_rep = x.shape[0]
+    return jnp.pad(x, ((0, _round_up(n_rep, rb) - n_rep),) +
+                   ((0, 0),) * (x.ndim - 1)), _round_up(n_rep, rb) // rb
+
+
+def _common_specs(A, M, rb):
+    return [
+        pl.BlockSpec((rb, TILE, 8), lambda r, i, j: (r, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, TILE), lambda i, j: (0, j),
+        pl.BlockSpec((rb, 8, TILE), lambda r, i, j: (r, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, A), lambda i, j: (i, 0),
+        pl.BlockSpec((TILE, A), lambda r, i, j: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((M * A, TILE), lambda i, j: (0, j),
+        pl.BlockSpec((M * A, TILE), lambda r, i, j: (0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+        pl.BlockSpec((TILE, TILE), lambda r, i, j: (i, j),
                      memory_space=pltpu.VMEM),
     ]
-    if with_g:
-        specs.append(pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
-                                  memory_space=pltpu.VMEM))
-    return specs
+
+
+def _fwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask):
+    """Forward kernel over a replica ensemble: x1 (R, n1, >=6),
+    x2 (R, n2, >=6); table/types/mask shared.  Returns (R, n1, n2)."""
+    ka, k, inv_dx = family
+    A, B, M = table.shape
+    n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
+    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
+    rb = min(rb, max(n_rep, 1))
+    x1p, n_rb = _pad_reps(x1p, rb)
+    x2p, _ = _pad_reps(x2p, rb)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, ka, k, inv_dx, A),
+        grid=(n_rb, n1p // TILE, n2p // TILE),
+        in_specs=_common_specs(A, M, rb),
+        out_specs=pl.BlockSpec((rb, TILE, TILE), lambda r, i, j: (r, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rb * rb, n1p, n2p), jnp.float32),
+        interpret=interpret,
+    )(x1p, x2p, oh1, t2t, maskp)
+    return out[:n_rep, :n1, :n2].astype(x1.dtype)
+
+
+def _bwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask, g):
+    """Backward kernel over a replica ensemble: position/direction
+    cotangents (dx1 (R, n1, 8), dx2 (R, n2, 8))."""
+    ka, k, inv_dx = family
+    A, B, M = table.shape
+    n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
+    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
+    rb = min(rb, max(n_rep, 1))
+    x1p, n_rb = _pad_reps(x1p, rb)
+    x2p, _ = _pad_reps(x2p, rb)
+    gp = jnp.pad(g.astype(jnp.float32),
+                 ((0, n_rb * rb - n_rep), (0, n1p - n1), (0, n2p - n2)))
+
+    n_j = n2p // TILE
+    d1, d2_part = pl.pallas_call(
+        functools.partial(_bwd_kernel, ka, k, inv_dx, A, n_j),
+        grid=(n_rb, n1p // TILE, n_j),
+        in_specs=_common_specs(A, M, rb) + [
+            pl.BlockSpec((rb, TILE, TILE), lambda r, i, j: (r, i, j),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((rb, TILE, 8), lambda r, i, j: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 8, TILE), lambda r, i, j: (i, r, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rb * rb, n1p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n1p // TILE, n_rb * rb, 8, n2p),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )(x1p, x2p, oh1, t2t, maskp, gp)
+    d2 = jnp.swapaxes(jnp.sum(d2_part, axis=0), 1, 2)    # (R, n2p, 8)
+    return d1[:n_rep, :n1], d2[:n_rep, :n2]
+
+
+# --- custom_vmap wrappers: a replica ensemble maps to the blocked grid ---
+
+@functools.lru_cache(maxsize=None)
+def _fwd_dispatch(family, interpret):
+    @jax.custom_batching.custom_vmap
+    def fwd(table, t1, t2, x1, x2, mask):
+        return _fwd_batched(family, interpret, RB_FWD, table, t1, t2,
+                            x1[None], x2[None], mask)[0]
+
+    @fwd.def_vmap
+    def rule(axis_size, in_batched, table, t1, t2, x1, x2, mask):
+        tb, t1b, t2b, x1b, x2b, mb = in_batched
+        if tb or t1b or t2b or mb:
+            # per-replica tables/masks (Hamiltonian ensembles): sequential
+            # fallback keeps semantics without kernel support
+            out = jax.lax.map(
+                lambda args: fwd(
+                    args[0] if tb else table, args[1] if t1b else t1,
+                    args[2] if t2b else t2, args[3], args[4],
+                    args[5] if mb else mask),
+                (table if tb else jnp.zeros((axis_size,)),
+                 t1 if t1b else jnp.zeros((axis_size,)),
+                 t2 if t2b else jnp.zeros((axis_size,)),
+                 x1 if x1b else jnp.broadcast_to(x1, (axis_size,) + x1.shape),
+                 x2 if x2b else jnp.broadcast_to(x2, (axis_size,) + x2.shape),
+                 mask if mb else jnp.zeros((axis_size,))))
+            return out, True
+        if not x1b:
+            x1 = jnp.broadcast_to(x1, (axis_size,) + x1.shape)
+        if not x2b:
+            x2 = jnp.broadcast_to(x2, (axis_size,) + x2.shape)
+        return _fwd_batched(family, interpret, RB_FWD, table, t1, t2,
+                            x1, x2, mask), True
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_dispatch(family, interpret):
+    @jax.custom_batching.custom_vmap
+    def bwd(table, t1, t2, x1, x2, mask, g):
+        d1, d2 = _bwd_batched(family, interpret, RB_BWD, table, t1, t2,
+                              x1[None], x2[None], mask, g[None])
+        return d1[0], d2[0]
+
+    @bwd.def_vmap
+    def rule(axis_size, in_batched, table, t1, t2, x1, x2, mask, g):
+        tb, t1b, t2b, x1b, x2b, mb, gb = in_batched
+        if tb or t1b or t2b or mb:
+            out = jax.lax.map(
+                lambda args: bwd(
+                    args[0] if tb else table, args[1] if t1b else t1,
+                    args[2] if t2b else t2, args[3], args[4],
+                    args[5] if mb else mask, args[6]),
+                (table if tb else jnp.zeros((axis_size,)),
+                 t1 if t1b else jnp.zeros((axis_size,)),
+                 t2 if t2b else jnp.zeros((axis_size,)),
+                 x1 if x1b else jnp.broadcast_to(x1, (axis_size,) + x1.shape),
+                 x2 if x2b else jnp.broadcast_to(x2, (axis_size,) + x2.shape),
+                 mask if mb else jnp.zeros((axis_size,)),
+                 g if gb else jnp.broadcast_to(g, (axis_size,) + g.shape)))
+            return out, (True, True)
+        if not x1b:
+            x1 = jnp.broadcast_to(x1, (axis_size,) + x1.shape)
+        if not x2b:
+            x2 = jnp.broadcast_to(x2, (axis_size,) + x2.shape)
+        if not gb:
+            g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+        d1, d2 = _bwd_batched(family, interpret, RB_BWD, table, t1, t2,
+                              x1, x2, mask, g)
+        return (d1, d2), (True, True)
+
+    return bwd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -226,28 +394,14 @@ def quadspline_pallas(family, interpret, table, t1, t2, x1, x2, mask):
 
     family: (ka, k, inv_dx); x1/x2: (n, >=6) site pos+dir rows; mask:
     (n1, n2) bool exclusion mask.  Matches ops.pairs.quadspline_coverage
-    (with its distance cutoff) exactly."""
-    return _fwd_impl(family, interpret, table, t1, t2, x1, x2, mask)
-
-
-def _fwd_impl(family, interpret, table, t1, t2, x1, x2, mask):
-    ka, k, inv_dx = family
-    A, B, M = table.shape
-    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, ka, k, inv_dx, A),
-        grid=(n1p // TILE, n2p // TILE),
-        in_specs=_specs(A, M, False),
-        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n1p, n2p), jnp.float32),
-        interpret=interpret,
-    )(x1p, x2p, oh1, t2t, maskp)
-    return out[:x1.shape[0], :x2.shape[0]].astype(x1.dtype)
+    (with its distance cutoff) exactly.  Under jax.vmap over x1/x2 the
+    replica axis becomes a blocked kernel grid dimension with the table
+    and mask shared (see _fwd_dispatch)."""
+    return _fwd_dispatch(family, interpret)(table, t1, t2, x1, x2, mask)
 
 
 def _fwd_rule(family, interpret, table, t1, t2, x1, x2, mask):
-    out = _fwd_impl(family, interpret, table, t1, t2, x1, x2, mask)
+    out = _fwd_dispatch(family, interpret)(table, t1, t2, x1, x2, mask)
     return out, (table, t1, t2, x1, x2, mask)
 
 
@@ -256,31 +410,11 @@ def _bwd_rule(family, interpret, res, g):
     inv_dtheta = (ka - 3) / 2.0
     table, t1, t2, x1, x2, mask = res
     A, B, M = table.shape
-    n1, n2 = x1.shape[0], x2.shape[0]
-    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
-    gp = jnp.pad(g.astype(jnp.float32), ((0, n1p - n1), (0, n2p - n2)))
 
-    d1, d2_part = pl.pallas_call(
-        functools.partial(_bwd_kernel, ka, k, inv_dx, A),
-        grid=(n1p // TILE, n2p // TILE),
-        in_specs=_specs(A, M, True),
-        out_specs=(
-            pl.BlockSpec((1, TILE, 8), lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n2p // TILE, n1p, 8), jnp.float32),
-            jax.ShapeDtypeStruct((n1p // TILE, 8, n2p), jnp.float32),
-        ),
-        interpret=interpret,
-    )(x1p, x2p, oh1, t2t, maskp, gp)
-    d2 = jnp.sum(d2_part, axis=0).T        # (n2p, 8)
-    d1 = jnp.sum(d1, axis=0)               # (n1p, 8) from per-j-tile partials
-
-    dx1 = jnp.zeros_like(x1).at[:, :6].set(d1[:n1, :6].astype(x1.dtype))
-    dx2 = jnp.zeros_like(x2).at[:, :6].set(d2[:n2, :6].astype(x2.dtype))
+    d1, d2 = _bwd_dispatch(family, interpret)(table, t1, t2, x1, x2, mask,
+                                              g)
+    dx1 = jnp.zeros_like(x1).at[:, :6].set(d1[:, :6].astype(x1.dtype))
+    dx2 = jnp.zeros_like(x2).at[:, :6].set(d2[:, :6].astype(x2.dtype))
 
     # parameter-table cotangent via the XLA dense-window formulation;
     # XLA dead-code eliminates this whole block when the table gradient is
