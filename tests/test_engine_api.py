@@ -66,3 +66,25 @@ def test_freeze_static_nodes(tmp_path):
     e0 = float(sys0.energy(pos, engine.params))
     e1 = float(frozen.energy(pos, fparams))
     assert abs(e0 - e1) < 1e-5
+
+
+def test_count_edges_by_type_channels():
+    """Every igraph-style node serves the count_edges_by_type channel
+    (interaction_graph.h:427-441, hbond.cpp:406-412)."""
+    import os
+
+    import pytest
+    if not os.path.exists("/root/reference/parameters/ff_1/sidechain.h5"):
+        pytest.skip("no parameter libraries")
+    from upside_md_tpu.bench_systems import TRP_CAGE, build_full_system
+    from upside_md_tpu.engine import Upside
+
+    system, params, pos, aux = build_full_system(seq=TRP_CAGE)
+    eng = Upside(system, params, pos)
+    for node in ("rotamer", "hbond_coverage"):
+        counts = eng.get_value_by_name(node, "count_edges_by_type")
+        assert counts.ndim == 1 and counts.sum() >= 0
+    import numpy as np
+    c = np.asarray(eng.get_value_by_name("rotamer", "count_edges_by_type"))
+    n_type = 20
+    assert c.size == n_type * n_type

@@ -132,23 +132,52 @@ class Upside:
         raise ValueError(f"value {log_name} not implemented for {node_name}")
 
     def _count_edges_by_type(self, spec, outputs):
-        """Edge counts per type pair (interaction_graph.h:427-441)."""
+        """Edge counts per (type1, type2) pair — the igraph diagnostics
+        channel every InteractionGraph node serves in the reference
+        (interaction_graph.h:427-441, hbond.cpp:406-412)."""
         import jax.numpy as jnp
+
+        from .ops.pairs import quadspline_family, sequence_exclusion_mask
         c = spec.consts
-        if spec.node_type.name == "rotamer":
+        name = spec.node_type.name
+        if name == "rotamer":
             table = self.params[spec.name]["interaction_param"]
             x = outputs[spec.args[0]][c["index"], 0:3]
-            from .ops.pairs import quadspline_family
             _, k, dx = quadspline_family(table.shape[-1])
-            d2 = jnp.sum((x[:, None] - x[None, :]) ** 2, -1)
+            d2 = np.asarray(jnp.sum((x[:, None] - x[None, :]) ** 2, -1))
             cutoff = (k - 2 - 1e-6) * dx
             tri = np.triu(np.ones((x.shape[0],) * 2, bool), 1)
-            mask = np.asarray(d2 < cutoff * cutoff) & tri & \
+            mask = (d2 < cutoff * cutoff) & tri & \
                 (c["res"][:, None] != c["res"][None, :])
-            t = c["type"]
-            n_type = table.shape[0]
-            out = np.zeros((n_type, n_type))
-            np.add.at(out, (t[np.asarray(mask).nonzero()[0]],
-                            t[np.asarray(mask).nonzero()[1]]), 1)
-            return out.ravel()
-        raise ValueError("count_edges_by_type only implemented for rotamer")
+            t1 = t2 = c["type"]
+            n1t, n2t = table.shape[0], table.shape[1]
+        elif name == "hbond_coverage":
+            table = self.params[spec.name]["interaction_param"]
+            x1 = outputs[spec.args[0]][c["index1"], 0:3]
+            x2 = outputs[spec.args[1]][c["index2"], 0:3]
+            _, k, dx = quadspline_family(table.shape[-1])
+            cutoff = (k - 2 - 1e-6) * dx
+            d2 = np.asarray(jnp.sum((x1[:, None] - x2[None, :]) ** 2, -1))
+            mask = (d2 < cutoff * cutoff) & np.asarray(
+                sequence_exclusion_mask(c["id1"], c["id2"], 2))
+            t1, t2 = c["type1"], c["type2"]
+            n1t, n2t = table.shape[0], table.shape[1]
+        elif name == "environment_coverage":
+            from .ops.pairs import gather_pair_params
+            table = self.params[spec.name]["interaction_param"]
+            x1 = outputs[spec.args[0]][c["index1"], 0:3]
+            x2 = outputs[spec.args[1]][c["index2"], 0:3]
+            p = np.asarray(gather_pair_params(table, c["type1"], c["type2"]))
+            cutoff = p[..., 0] + 1.0 / p[..., 1]
+            d2 = np.asarray(jnp.sum((x1[:, None] - x2[None, :]) ** 2, -1))
+            mask = (d2 < cutoff * cutoff) & np.asarray(
+                sequence_exclusion_mask(c["id1"], c["id2"], 2))
+            t1, t2 = c["type1"], c["type2"]
+            n1t, n2t = table.shape[0], table.shape[1]
+        else:
+            raise ValueError(
+                f"count_edges_by_type not implemented for {name}")
+        i, j = np.nonzero(np.asarray(mask))
+        out = np.zeros((n1t, n2t))
+        np.add.at(out, (np.asarray(t1)[i], np.asarray(t2)[j]), 1)
+        return out.ravel()

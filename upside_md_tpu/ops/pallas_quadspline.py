@@ -134,80 +134,107 @@ def _make_get_C(oh1_ref, t2t_ref, A):
 def _fwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
                 mask_ref, out_ref):
     inv_dtheta = (ka - 3) / 2.0
-    _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
-    get_C = _make_get_C(oh1_ref, t2t_ref, A)
+    # tile-level sparsity: the exclusion mask is static per call (e.g. the
+    # rotamer mask is upper-triangular, killing a third of the tiles);
+    # fully-masked tiles skip all spline work
+    alive = jnp.any(mask_ref[:, :] > 0)
 
-    s = dist * inv_dx
-    (a1,), _ = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
-                                  False, get_C, (0,), False)
-    (a2,), _ = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
-                                  False, get_C, (ka,), False)
-    (wide, narrow), _ = _window_accumulate(s, k, True, get_C,
-                                           (2 * ka, 2 * ka + k), False)
-    live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
-    out_ref[:, :, :] = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
+    @pl.when(jnp.logical_not(alive))
+    def _():
+        out_ref[:, :, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(alive)
+    def _():
+        _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
+        get_C = _make_get_C(oh1_ref, t2t_ref, A)
+
+        s = dist * inv_dx
+        (a1,), _ = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
+                                      False, get_C, (0,), False)
+        (a2,), _ = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
+                                      False, get_C, (ka,), False)
+        (wide, narrow), _ = _window_accumulate(s, k, True, get_C,
+                                               (2 * ka, 2 * ka + k), False)
+        live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
+        out_ref[:, :, :] = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
 
 
 def _bwd_kernel(ka, k, inv_dx, A, n_j, x1_ref, x2t_ref, oh1_ref, t2t_ref,
                 mask_ref, g_ref, d1_ref, d2_ref):
     inv_dtheta = (ka - 3) / 2.0
-    dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
-        x1_ref, x2t_ref)
-    get_C = _make_get_C(oh1_ref, t2t_ref, A)
-
-    s = dist * inv_dx
-    (a1,), (da1,) = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
-                                       False, get_C, (0,), True)
-    (a2,), (da2,) = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
-                                       False, get_C, (ka,), True)
-    (wide, narrow), (dwide, dnarrow) = _window_accumulate(
-        s, k, True, get_C, (2 * ka, 2 * ka + k), True)
-    del wide
-
-    live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
-    g = jnp.where(live, g_ref[:, :, :], 0.0)
-    # reference derivative partition (bead_interaction.h:61-73)
-    radial = g * (dwide + a1 * a2 * dnarrow) * inv_dx
-    c1 = g * da1 * inv_dtheta * a2 * narrow
-    c2 = g * da2 * inv_dtheta * a1 * narrow
-
-    f1 = c1 * inv_dist
-    f2 = c2 * inv_dist
-    gx = radial * ux + f1 * (dir1[0] - cos1 * ux) - f2 * (dir2[0] + cos2 * ux)
-    gy = radial * uy + f1 * (dir1[1] - cos1 * uy) - f2 * (dir2[1] + cos2 * uy)
-    gz = radial * uz + f1 * (dir1[2] - cos1 * uz) - f2 * (dir2[2] + cos2 * uz)
-
-    # d_pos1 = -sum_j d_pos2; d_dir1 = sum_j c1*u.  j is the innermost
-    # grid dimension, so the (rb, i) output block is revisited across
-    # consecutive steps and can accumulate in place.
     j = pl.program_id(2)
-    cols = []
-    for c, arr, sgn in ((0, gx, -1.0), (1, gy, -1.0), (2, gz, -1.0),
-                        (3, c1 * ux, 1.0), (4, c1 * uy, 1.0),
-                        (5, c1 * uz, 1.0)):
-        cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
-    cols.append(jnp.zeros_like(cols[0]))
-    cols.append(jnp.zeros_like(cols[0]))
-    block = jnp.concatenate(cols, axis=2)          # (RB, TI, 8)
+    alive = jnp.any(mask_ref[:, :] > 0)
 
-    @pl.when(j == 0)
+    @pl.when(jnp.logical_not(alive))
     def _():
-        d1_ref[:, :, :] = block
+        # fully-masked tile: contributes nothing, but the d1 accumulator
+        # must still be initialized on the first j step
+        @pl.when(j == 0)
+        def _():
+            d1_ref[:, :, :] = jnp.zeros_like(d1_ref)
+        d2_ref[0, :, :, :] = jnp.zeros_like(d2_ref[0])
 
-    @pl.when(j > 0)
+    @pl.when(alive)
     def _():
-        d1_ref[:, :, :] = d1_ref[:, :, :] + block
+        dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
+            x1_ref, x2t_ref)
+        get_C = _make_get_C(oh1_ref, t2t_ref, A)
 
-    # d_pos2 rows (summed over i) land in per-i-tile partials (reduced in
-    # XLA): the i dimension is not consecutive in this grid order.
-    rows = []
-    for c, arr, sgn in ((0, gx, 1.0), (1, gy, 1.0), (2, gz, 1.0),
-                        (3, c2 * ux, -1.0), (4, c2 * uy, -1.0),
-                        (5, c2 * uz, -1.0)):
-        rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
-    rows.append(jnp.zeros_like(rows[0]))
-    rows.append(jnp.zeros_like(rows[0]))
-    d2_ref[0, :, :, :] = jnp.concatenate(rows, axis=1)   # (1, RB, 8, TJ)
+        s = dist * inv_dx
+        (a1,), (da1,) = _window_accumulate(
+            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (0,), True)
+        (a2,), (da2,) = _window_accumulate(
+            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (ka,), True)
+        (wide, narrow), (dwide, dnarrow) = _window_accumulate(
+            s, k, True, get_C, (2 * ka, 2 * ka + k), True)
+        del wide
+
+        live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
+        g = jnp.where(live, g_ref[:, :, :], 0.0)
+        # reference derivative partition (bead_interaction.h:61-73)
+        radial = g * (dwide + a1 * a2 * dnarrow) * inv_dx
+        c1 = g * da1 * inv_dtheta * a2 * narrow
+        c2 = g * da2 * inv_dtheta * a1 * narrow
+
+        f1 = c1 * inv_dist
+        f2 = c2 * inv_dist
+        gx = (radial * ux + f1 * (dir1[0] - cos1 * ux)
+              - f2 * (dir2[0] + cos2 * ux))
+        gy = (radial * uy + f1 * (dir1[1] - cos1 * uy)
+              - f2 * (dir2[1] + cos2 * uy))
+        gz = (radial * uz + f1 * (dir1[2] - cos1 * uz)
+              - f2 * (dir2[2] + cos2 * uz))
+
+        # d_pos1 = -sum_j d_pos2; d_dir1 = sum_j c1*u.  j is the innermost
+        # grid dimension, so the (rb, i) output block is revisited across
+        # consecutive steps and can accumulate in place.
+        cols = []
+        for c, arr, sgn in ((0, gx, -1.0), (1, gy, -1.0), (2, gz, -1.0),
+                            (3, c1 * ux, 1.0), (4, c1 * uy, 1.0),
+                            (5, c1 * uz, 1.0)):
+            cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
+        cols.append(jnp.zeros_like(cols[0]))
+        cols.append(jnp.zeros_like(cols[0]))
+        block = jnp.concatenate(cols, axis=2)          # (RB, TI, 8)
+
+        @pl.when(j == 0)
+        def _():
+            d1_ref[:, :, :] = block
+
+        @pl.when(j > 0)
+        def _():
+            d1_ref[:, :, :] = d1_ref[:, :, :] + block
+
+        # d_pos2 rows (summed over i) land in per-i-tile partials (reduced
+        # in XLA): the i dimension is not consecutive in this grid order.
+        rows = []
+        for c, arr, sgn in ((0, gx, 1.0), (1, gy, 1.0), (2, gz, 1.0),
+                            (3, c2 * ux, -1.0), (4, c2 * uy, -1.0),
+                            (5, c2 * uz, -1.0)):
+            rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        d2_ref[0, :, :, :] = jnp.concatenate(rows, axis=1)  # (1, RB, 8, TJ)
 
 
 def _prep(table, t1, t2, x1, x2, mask):
