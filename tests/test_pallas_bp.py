@@ -84,6 +84,118 @@ def test_warm_start_reaches_same_answer(rng):
     assert abs(float(Fu) - float(Fcold)) < 5e-3
 
 
+def make_bead_problem(rng, n_res=17, max_bead_per_res=4):
+    """Random bead-space pair problem with the rotamer node's structure:
+    each bead belongs to one (residue, rot-slot); pair energies live on
+    the upper triangle of the bead grid between different residues."""
+    from upside_md_tpu.ops.pallas_bp import _scatter_onehots
+
+    res, rot = [], []
+    valid = np.zeros((n_res, MAX_ROT), bool)
+    for ri in range(n_res):
+        n_rot = int(rng.integers(1, MAX_ROT + 1))
+        valid[ri, :n_rot] = True
+        for a in range(n_rot):
+            for _ in range(int(rng.integers(1, max_bead_per_res + 1))):
+                res.append(ri)
+                rot.append(a)
+    res = np.asarray(res, np.int32)
+    rot = np.asarray(rot, np.int32)
+    nb = len(res)
+    E1 = 2.0 * rng.normal(size=(n_res, MAX_ROT)) * valid
+
+    tri = (np.arange(nb)[:, None] < np.arange(nb)[None, :]) & \
+        (res[:, None] != res[None, :])
+    # sparse contacts, like a distance cutoff would leave
+    contact = tri & (rng.random((nb, nb)) < 0.08)
+    E_pair = np.where(contact, 0.5 * rng.normal(size=(nb, nb)), 0.0)
+
+    nbp = -(-nb // LANE) * LANE
+    S6 = _scatter_onehots(res, rot, nbp)
+    return (jnp.asarray(E1, jnp.float32), jnp.asarray(E_pair, jnp.float32),
+            S6, jnp.asarray(valid), res, rot, contact)
+
+
+def bead_problem_reference(E1, E_pair, res, rot, valid):
+    """XLA reference: scatter the bead grid to residue 6x6 blocks exactly
+    as assemble_rotamer_energies does, then solve/differentiate through
+    the dense-path Bethe energy."""
+    n_res, nb = E1.shape[0], E_pair.shape[0]
+    onehot = jnp.zeros((nb, n_res * MAX_ROT), jnp.float32).at[
+        jnp.arange(nb), jnp.asarray(res) * MAX_ROT + jnp.asarray(rot)].set(1.0)
+    E2u = (onehot.T @ E_pair @ onehot).reshape(
+        n_res, MAX_ROT, n_res, MAX_ROT)
+    E2u = jnp.transpose(E2u, (0, 2, 1, 3))
+    E2 = E2u + jnp.transpose(E2u, (1, 0, 3, 2))
+    adj = jnp.ones((n_res, n_res), bool) & ~jnp.eye(n_res, dtype=bool)
+    off = jnp.min(jnp.where(valid, E1, jnp.inf), axis=-1)
+    pr = jnp.where(valid, jnp.exp(off[:, None] - E1), 0.0)
+    P = jnp.exp(-E2)
+    nbel, ebel = _bp_solve(jax.lax.stop_gradient(pr),
+                           jax.lax.stop_gradient(P), adj, valid,
+                           0.4, 1000, 1e-4, 2)
+    return bethe_free_energy(E1, off, P, adj, valid, nbel, ebel)
+
+
+def test_pairs_kernel_matches_xla(rng):
+    from upside_md_tpu.ops.pallas_bp import bp_bethe_pairs
+
+    E1, E_pair, S6, valid, res, rot, contact = make_bead_problem(rng)
+    static = (E1.shape[0], 0.4, 1000, 1e-4, 2)
+
+    def f_pl(E1_, E_pair_):
+        F, _, _ = bp_bethe_pairs(static, True, False, E1_, E_pair_,
+                                 jnp.asarray(S6), jnp.asarray(S6.T),
+                                 valid, None)
+        return F
+
+    Fr, g_ref = jax.value_and_grad(
+        lambda a, b: bead_problem_reference(a, b, res, rot, valid),
+        argnums=(0, 1))(E1, E_pair)
+    Fp, g_pl = jax.value_and_grad(f_pl, argnums=(0, 1))(E1, E_pair)
+
+    assert abs(float(Fr) - float(Fp)) < 2e-3 * max(1.0, abs(float(Fr)))
+    np.testing.assert_allclose(np.asarray(g_pl[0]), np.asarray(g_ref[0]),
+                               atol=3e-4)
+    # pair-energy gradients agree at the entries the pair kernel can feed
+    # (upper triangle); identity-edge gradients elsewhere are annihilated
+    # downstream by the pair kernel's cutoff mask
+    tri = np.triu(np.ones(contact.shape, bool), 1) & \
+        (np.asarray(res)[:, None] != np.asarray(res)[None, :])
+    np.testing.assert_allclose(np.asarray(g_pl[1])[tri],
+                               np.asarray(g_ref[1])[tri], atol=3e-4)
+
+
+def test_pairs_kernel_vmapped_and_warm(rng):
+    from upside_md_tpu.ops.pallas_bp import bp_bethe_pairs
+
+    E1, E_pair, S6, valid, res, rot, contact = make_bead_problem(rng, n_res=9)
+    static = (E1.shape[0], 0.4, 1000, 1e-4, 2)
+    S6j, S6Tj = jnp.asarray(S6), jnp.asarray(S6.T)
+
+    B = 3
+    E1b = jnp.stack([E1 + 0.1 * i for i in range(B)])
+    Epb = jnp.stack([E_pair * (1.0 + 0.05 * i) for i in range(B)])
+
+    def one(e1, ep):
+        F, nbel, ebel = bp_bethe_pairs(static, True, False, e1, ep,
+                                       S6j, S6Tj, valid, None)
+        return F, (nbel, ebel)
+
+    Fb, (nbb, ebb) = jax.vmap(one)(E1b, Epb)
+    for i in range(B):
+        Fi, _ = one(E1b[i], Epb[i])
+        assert abs(float(Fb[i]) - float(Fi)) < 1e-4 * max(1.0, abs(float(Fi)))
+
+    # warm start from converged messages reaches the same answer
+    def one_warm(e1, ep, nb0, eb0):
+        F, _, _ = bp_bethe_pairs(static, True, False, e1, ep,
+                                 S6j, S6Tj, valid, (nb0, eb0))
+        return F
+    Fw = jax.vmap(one_warm)(E1b, Epb, nbb, ebb)
+    np.testing.assert_allclose(np.asarray(Fw), np.asarray(Fb), atol=5e-3)
+
+
 def test_energy_and_cache_protocol(rng):
     """The XLA rotamer path threads warm-start messages through
     System.energy_and_cache without changing the energy."""

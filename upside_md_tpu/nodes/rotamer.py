@@ -42,6 +42,9 @@ EPS = 1e-10
 # gathers dominate), so the NL only engages for large multi-chain systems.
 NEIGHBOR_LIST_THRESHOLD = 1024
 NEIGHBOR_K = 128
+# the bead->rot-slot mega-kernel holds the (padded) pair grid plus its
+# gradient in VMEM; beyond this bead count fall back to the plane kernel
+PAIRS_KERNEL_MAX_BEADS = 512
 
 
 def decode_bead_ids(packed_ids, n_bit_rotamer=4):
@@ -159,40 +162,38 @@ def bethe_free_energy(E1, offset, P, adj, valid, node_marg, edge_belief):
     return jnp.sum(node_en) + jnp.sum(jnp.where(iu, edge_en, 0.0))
 
 
-def assemble_rotamer_energies(consts, params, inputs):
-    """Build the padded residue-level BP problem from bead geometry.
+def assemble_one_body(consts, params, inputs):
+    """Bead geometry rows + the padded 1-body energy table.
 
-    Returns (E1 (R,6), offset (R,), prob (R,6), E2 (R,R,6,6), adj, valid) —
-    the reference builds the same data into its Node/EdgeHolders
-    (rotamer.cpp fill_holders, :793-852).  E2 is the symmetrized pair
-    energy; the Boltzmann factor P = exp(-E2) is formed by the solver."""
+    Returns (x (n_bead, >=6), E1 (R,6), offset (R,), prob (R,6), valid)."""
     beads = inputs[0]                       # bead pos+dir node (n, >=6)
     prob_nodes = inputs[1:]                 # 1-body energies, each (n, 1)
-
     idx = consts["index"]                   # bead -> row in pos node
     x = beads[idx]
-    res = consts["res"]                     # (n_bead,) contiguous residue ids
     n_res = int(consts["n_res"])
     valid = jnp.asarray(consts["valid"])    # (n_res, 6) bool
     onehot = jnp.asarray(consts["onehot"], x.dtype)      # (n_bead, n_res*6)
-    onehot_res = jnp.asarray(consts["onehot_res"], x.dtype)  # (n_bead, n_res)
 
-    # ---- 1-body energies -> node probabilities --------------------------
     e_bead = jnp.zeros((x.shape[0],), x.dtype)
     for pn in prob_nodes:
         e_bead = e_bead + pn[idx, 0]
     E1 = (e_bead @ onehot).reshape(n_res, MAX_ROT)
     offset = jnp.min(jnp.where(valid, E1, jnp.inf), axis=-1)
     prob = jnp.where(valid, jnp.exp(offset[:, None] - E1), 0.0)
+    return x, E1, offset, prob, valid
 
-    # ---- bead-pair energies -> residue-pair 6x6 Boltzmann blocks --------
+
+def assemble_pair_grid(consts, params, x):
+    """Dense (n_bead, n_bead) pair-energy grid, each unordered pair counted
+    once (upper triangle, different residues — the reference pairlist
+    builds b1<b2 edges, rotamer.cpp:793-852).
+
+    Returns (E_pair, pair_mask)."""
     table = params["interaction_param"]
     ka, k, dx = quadspline_family(table.shape[-1])
-
+    res = consts["res"]
     n_bead = x.shape[0]
     cutoff = (k - 2 - 1e-6) * dx
-    # count each unordered bead pair exactly once (reference pairlist
-    # builds b1<b2 edges); the residue-block tensor is then symmetrized
     triangle = jnp.arange(n_bead)[:, None] < jnp.arange(n_bead)[None, :]
     base_mask = triangle & (res[:, None] != res[None, :])
     if n_bead > NEIGHBOR_LIST_THRESHOLD:
@@ -210,6 +211,21 @@ def assemble_rotamer_energies(consts, params, inputs):
         from ..ops.pairs import pair_coverage
         E_pair = pair_coverage(table, consts["type"], consts["type"],
                                x, x, base_mask, ka, k, dx)
+    return E_pair, pair_mask
+
+
+def assemble_rotamer_energies(consts, params, inputs):
+    """Build the padded residue-level BP problem from bead geometry.
+
+    Returns (E1 (R,6), offset (R,), prob (R,6), E2 (R,R,6,6), adj, valid) —
+    the reference builds the same data into its Node/EdgeHolders
+    (rotamer.cpp fill_holders, :793-852).  E2 is the symmetrized pair
+    energy; the Boltzmann factor P = exp(-E2) is formed by the solver."""
+    x, E1, offset, prob, valid = assemble_one_body(consts, params, inputs)
+    n_res = int(consts["n_res"])
+    onehot = jnp.asarray(consts["onehot"], x.dtype)      # (n_bead, n_res*6)
+    onehot_res = jnp.asarray(consts["onehot_res"], x.dtype)  # (n_bead, n_res)
+    E_pair, pair_mask = assemble_pair_grid(consts, params, x)
 
     # scatter to (R*6, R*6) with two one-hot matmuls (MXU-friendly).  On
     # TPU the matmuls run in bf16 with f32 accumulation: the one-hots are
@@ -239,9 +255,7 @@ def _use_pallas_bp(n_res):
 
 
 def _rotamer(consts, params, inputs, extra):
-    E1, offset, prob, E2, adj, valid = assemble_rotamer_energies(
-        consts, params, inputs)
-    n_res = E1.shape[0]
+    n_res = int(consts["n_res"])
     static = (n_res, float(consts["damping"]), int(consts["max_iter"]),
               float(consts["tol"]), int(consts.get("iteration_chunk_size", 2)))
 
@@ -251,6 +265,33 @@ def _rotamer(consts, params, inputs, extra):
     name = (extra or {}).get("_node_name")
     init = (extra or {}).get("_cache", {}).get(name)
     cache_out = (extra or {}).get("_cache_out")
+
+    import os
+    n_bead = len(consts["res"])
+    if (_use_pallas_bp(n_res) and n_bead <= PAIRS_KERNEL_MAX_BEADS
+            and not os.environ.get("UPSIDE_BP_PLANES")):
+        # mega-kernel: bead pair energies -> rot-slot scatter, BP solve,
+        # Bethe energy and envelope gradients all in one VMEM-resident
+        # Pallas kernel (see ops/pallas_bp.py bp_bethe_pairs); the
+        # residue-pair block tensor never exists in HBM
+        from ..ops.pallas_bp import LANE, _scatter_onehots, bp_bethe_pairs
+        x, E1, offset, prob, valid = assemble_one_body(consts, params,
+                                                       inputs)
+        E_pair, _ = assemble_pair_grid(consts, params, x)
+        nbp = -(-n_bead // LANE) * LANE
+        S6 = _scatter_onehots(consts["res"], consts["rot"], nbp)
+        F, nb, eb = bp_bethe_pairs(static, False, True,
+                                   E1.astype(jnp.float32),
+                                   E_pair.astype(jnp.float32),
+                                   jnp.asarray(S6), jnp.asarray(S6.T),
+                                   valid, init)
+        if cache_out is not None and name is not None:
+            cache_out[name] = (jax.lax.stop_gradient(nb),
+                               jax.lax.stop_gradient(eb))
+        return F.astype(E1.dtype)
+
+    E1, offset, prob, E2, adj, valid = assemble_rotamer_energies(
+        consts, params, inputs)
 
     if _use_pallas_bp(n_res):
         # fused in-VMEM solve + Bethe + envelope gradients (one Pallas

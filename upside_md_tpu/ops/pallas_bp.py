@@ -43,41 +43,34 @@ EPS = 1e-10
 LANE = 128
 
 
-def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
-    if warm:
-        (e1_ref, p_ref, adj_ref, valid_ref, nb0_ref, eb0_ref,
-         f_ref, g1_ref, g2_ref, nb_ref, eb_ref) = refs
-    else:
-        (e1_ref, p_ref, adj_ref, valid_ref,
-         f_ref, g1_ref, g2_ref, nb_ref, eb_ref) = refs
+def _round_up(x, m):
+    return (x + m - 1) // m * m
 
+
+# --- shared in-kernel building blocks (used by both BP kernels) ------------
+
+def _node_prep(e1_ref, valid_ref):
+    """Per-rotamer-slot columns: validity, masked 1-body energies, the
+    per-residue offset (min valid energy) and node potentials
+    probC = exp(offset - E1)."""
     f32 = jnp.float32
-    rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    live_row = (rows < R).astype(f32)
-    triu = (rows < cols).astype(f32)
-
-    adjP = adj_ref[0] * live_row * (cols < R).astype(f32)
-    validC = [valid_ref[0][:, a:a + 1] for a in range(NROT)]   # (128,1)
+    validC = [valid_ref[:, a:a + 1] for a in range(NROT)]        # (128,1)
     validB = [jnp.broadcast_to(v, (LANE, LANE)) for v in validC]
-
-    def P(a, b):
-        # edge Boltzmann factors, validity pre-masked in XLA
-        return p_ref[0, a * NROT + b]
-
-    # ---- node potentials ------------------------------------------------
     BIG = f32(1e30)
-    e1 = [e1_ref[0][:, a:a + 1] for a in range(NROT)]
+    e1 = [e1_ref[:, a:a + 1] for a in range(NROT)]
     masked = [jnp.where(validC[a] > 0, e1[a], BIG) for a in range(NROT)]
     offset = masked[0]
     for a in range(1, NROT):
         offset = jnp.minimum(offset, masked[a])
     probC = [jnp.where(validC[a] > 0, jnp.exp(offset - e1[a]), 0.0)
              for a in range(NROT)]
+    return validC, validB, masked, offset, probC
 
+
+def _make_updates(P, adjP, validB, probC):
+    """The damped synchronous BP sweep operators over 6 belief columns and
+    6 edge-message planes (reference calculate_new_beliefs schedule)."""
     def edge_update(nbC, eb):
-        """One synchronous message sweep (reference calculate_new_beliefs).
-        nbC: list of 6 (128,1) node-belief columns; eb: list of 6 planes."""
         VT = [(jnp.broadcast_to(nbC[b], (LANE, LANE)) / (EPS + eb[b])).T
               for b in range(NROT)]
         m = []
@@ -93,7 +86,6 @@ def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
         return [jnp.where(adjP > 0, m[a] * rnorm, 1.0) for a in range(NROT)]
 
     def node_update(eb):
-        """Product of incoming messages (log space), max-normalized."""
         nbC = []
         for a in range(NROT):
             s = jnp.sum(jnp.log(jnp.maximum(eb[a], 1e-30)) * adjP,
@@ -105,17 +97,14 @@ def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
         rmx = 1.0 / jnp.maximum(mx, EPS)
         return [nbC[a] * rmx for a in range(NROT)]
 
-    # ---- initial beliefs (reference: undamped first sweep from priors) --
-    if warm:
-        nb = [nb0_ref[0][:, a:a + 1] for a in range(NROT)]
-        eb = [eb0_ref[0, a] for a in range(NROT)]
-    else:
-        eb = edge_update(probC, [jnp.ones((LANE, LANE), f32)] * NROT)
-        mx = probC[0]
-        for a in range(1, NROT):
-            mx = jnp.maximum(mx, probC[a])
-        rmx = 1.0 / jnp.maximum(mx, EPS)
-        nb = [probC[a] * rmx for a in range(NROT)]
+    return edge_update, node_update
+
+
+def _solve_loop(damping, max_iter, tol, chunk, edge_update, node_update,
+                nb, eb):
+    """Damped solve to tolerance; several sweeps per convergence check
+    (the reference's iteration_chunk_size)."""
+    f32 = jnp.float32
 
     def cond(state):
         it, dev = state[0], state[1]
@@ -137,24 +126,31 @@ def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
 
     state = (jnp.asarray(0, jnp.int32), f32(np.inf), list(nb), list(eb))
     _, _, nb, eb = jax.lax.while_loop(cond, body, state)
-
-    # l1-normalize beliefs -> marginals
     tot = nb[0]
     for a in range(1, NROT):
         tot = tot + nb[a]
     rtot = 1.0 / jnp.maximum(tot, EPS)
     bC = [nb[a] * rtot for a in range(NROT)]
+    return nb, eb, bC
 
-    nb_ref[0] = jnp.concatenate(nb + [jnp.zeros((LANE, 2), f32)], axis=1)
-    for a in range(NROT):
-        eb_ref[0, a] = eb[a]
 
-    # ---- Bethe free energy + envelope gradients -------------------------
-    # node term (rotamer.cpp:292-302):
-    #   offset + sum_a b log((EPS+b)/(EPS+pr)),  pr = exp(offset - E1)
-    live_col = live_row[:, 0:1]
+def _cold_start(probC, edge_update):
+    """Reference cold start: one undamped sweep from the bare priors."""
+    eb = edge_update(probC, [jnp.ones((LANE, LANE), jnp.float32)] * NROT)
+    mx = probC[0]
+    for a in range(1, NROT):
+        mx = jnp.maximum(mx, probC[a])
+    rmx = 1.0 / jnp.maximum(mx, EPS)
+    nb = [probC[a] * rmx for a in range(NROT)]
+    return nb, eb
+
+
+def _bethe_node_term(validC, masked, offset, probC, bC, live_col):
+    """Node free-energy column and its envelope gradient columns
+    (rotamer.cpp:292-302, 956-985): dF/dE1 = b*q with the un-captured
+    weight (1 - sum b q) routed to the argmin slot."""
     node_en = offset * live_col
-    sum_bq = jnp.zeros((LANE, 1), f32)
+    sum_bq = jnp.zeros((LANE, 1), jnp.float32)
     qC = []
     for a in range(NROT):
         q = probC[a] / (EPS + probC[a])
@@ -164,8 +160,7 @@ def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
             bC[a] * jnp.log((EPS + bC[a]) / (EPS + probC[a])), 0.0)
         sum_bq = sum_bq + jnp.where(validC[a] > 0, bC[a] * q, 0.0)
 
-    # dF/dE1: b*q direct + (1 - sum b q) routed to the (first) argmin slot
-    taken = jnp.zeros((LANE, 1), f32)
+    taken = jnp.zeros((LANE, 1), jnp.float32)
     g1_cols = []
     for a in range(NROT):
         is_min = jnp.where((validC[a] > 0) & (masked[a] <= offset)
@@ -174,6 +169,51 @@ def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
         g1_cols.append(jnp.where(validC[a] > 0,
                                  bC[a] * qC[a] + (1.0 - sum_bq) * is_min,
                                  0.0) * live_col)
+    return node_en, g1_cols
+
+
+def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
+    if warm:
+        (e1_ref, p_ref, adj_ref, valid_ref, nb0_ref, eb0_ref,
+         f_ref, g1_ref, g2_ref, nb_ref, eb_ref) = refs
+    else:
+        (e1_ref, p_ref, adj_ref, valid_ref,
+         f_ref, g1_ref, g2_ref, nb_ref, eb_ref) = refs
+
+    f32 = jnp.float32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    live_row = (rows < R).astype(f32)
+    triu = (rows < cols).astype(f32)
+
+    adjP = adj_ref[0] * live_row * (cols < R).astype(f32)
+
+    def P(a, b):
+        # edge Boltzmann factors, validity pre-masked in XLA
+        return p_ref[0, a * NROT + b]
+
+    validC, validB, masked, offset, probC = _node_prep(e1_ref[0],
+                                                       valid_ref[0])
+    edge_update, node_update = _make_updates(P, adjP, validB, probC)
+
+    # initial beliefs: warm messages or the reference cold-start sweep
+    if warm:
+        nb = [nb0_ref[0][:, a:a + 1] for a in range(NROT)]
+        eb = [eb0_ref[0, a] for a in range(NROT)]
+    else:
+        nb, eb = _cold_start(probC, edge_update)
+
+    nb, eb, bC = _solve_loop(damping, max_iter, tol, chunk,
+                             edge_update, node_update, nb, eb)
+
+    nb_ref[0] = jnp.concatenate(nb + [jnp.zeros((LANE, 2), f32)], axis=1)
+    for a in range(NROT):
+        eb_ref[0, a] = eb[a]
+
+    # ---- Bethe free energy + envelope gradients -------------------------
+    live_col = live_row[:, 0:1]
+    node_en, g1_cols = _bethe_node_term(validC, masked, offset, probC, bC,
+                                        live_col)
     g1_ref[0] = jnp.concatenate(g1_cols + [jnp.zeros((LANE, 2), f32)],
                                 axis=1)
 
@@ -285,3 +325,288 @@ def _bp_bwd(static, interpret, res, cot):
 
 
 bp_bethe_pallas.defvjp(_bp_fwd, _bp_bwd)
+
+
+# ===========================================================================
+# Mega-kernel: bead-space pair energies -> Bethe free energy + gradients
+# ===========================================================================
+#
+# The kernel above still leaves the residue-pair 6x6 block assembly (two
+# one-hot matmuls, a symmetrization, and layout transposes with tiny
+# trailing dims) and a 36-plane gradient tensor round trip to XLA; measured
+# on v5e that glue costs ~2x the solve itself.  This kernel consumes the
+# raw (n_bead, n_bead) pair-energy grid directly:
+#
+#   * the rot-slot scatter E2[ab][ri,rj] = sum_{i in (ri,a), j in (rj,b)}
+#     (E + E^T)[i,j] runs as in-VMEM MXU matmuls against the static bead
+#     one-hots S6 (exact in bf16),
+#   * no adjacency input: every live residue pair is an edge.  Pairs with
+#     no in-cutoff bead contact get identity potentials, which provably do
+#     not move the BP fixed point, contribute exactly zero Bethe edge
+#     energy, and whose (nonzero) pair-marginal gradients are annihilated
+#     downstream by the pair kernel's distance-cutoff mask,
+#   * the free-energy gradient is returned in bead space:
+#     dF/dE = X + X^T with X = sum_ab S6_a^T G2[ab] S6_b -- again in-VMEM
+#     matmuls, so the 36-plane gradient never touches HBM.
+#
+# HBM per replica per evaluation: E_pair in, dF/dE_pair out.
+
+def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
+                     *refs):
+    if warm:
+        (e1_ref, ep_ref, s6_ref, s6t_ref, valid_ref, nb0_ref, eb0_ref,
+         f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+    else:
+        (e1_ref, ep_ref, s6_ref, s6t_ref, valid_ref,
+         f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if bf16 else f32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    live_row = (rows < R).astype(f32)
+    live = live_row * (cols < R).astype(f32)
+    triu = (rows < cols).astype(f32)
+    adjP = live * (rows != cols).astype(f32)
+
+    validC, validB, masked, offset, probC = _node_prep(e1_ref[0],
+                                                       valid_ref[:, :])
+
+    # ---- rot-slot scatter: E2 planes from bead pair energies (MXU) ------
+    E = ep_ref[0]
+    Es = (E + E.T).astype(cdt)
+    S6 = s6_ref[:, :]                       # (6*LANE, NBP)
+    S6T = s6t_ref[:, :]                     # (NBP, 6*LANE)
+    h = jax.lax.dot(S6, Es, preferred_element_type=f32).astype(cdt)
+
+    planes = []
+    for a in range(NROT):
+        row = []
+        ha = h[a * LANE:(a + 1) * LANE, :]
+        for b in range(NROT):
+            u = jax.lax.dot(ha, S6T[:, b * LANE:(b + 1) * LANE],
+                            preferred_element_type=f32)
+            vm = validB[a] * validB[b].T
+            row.append(jnp.exp(-u) * vm)
+        planes.append(row)
+
+    def P(a, b):
+        return planes[a][b]
+
+    edge_update, node_update = _make_updates(P, adjP, validB, probC)
+    if warm:
+        nb = [nb0_ref[0][:, a:a + 1] for a in range(NROT)]
+        eb = [eb0_ref[0, a] for a in range(NROT)]
+    else:
+        nb, eb = _cold_start(probC, edge_update)
+
+    nb, eb, bC = _solve_loop(damping, max_iter, tol, chunk,
+                             edge_update, node_update, nb, eb)
+
+    nb_ref[0] = jnp.concatenate(nb + [jnp.zeros((LANE, 2), f32)], axis=1)
+    for a in range(NROT):
+        eb_ref[0, a] = eb[a]
+
+    # ---- Bethe free energy + envelope gradients -------------------------
+    live_col = live_row[:, 0:1]
+    node_en, g1_cols = _bethe_node_term(validC, masked, offset, probC, bC,
+                                        live_col)
+    g1_ref[0] = jnp.concatenate(g1_cols + [jnp.zeros((LANE, 2), f32)],
+                                axis=1)
+
+    # edge term over all live i<j pairs (identity edges contribute 0); the
+    # pair-marginal gradients contract straight back to bead space:
+    #   X = sum_ab S6_a^T G[ab] S6_b,  dF/dE = X + X^T.
+    bc1 = [jnp.broadcast_to(bC[a], (LANE, LANE)) / (EPS + eb[a])
+           for a in range(NROT)]
+    bB1 = [jnp.broadcast_to(bC[a], (LANE, LANE)) for a in range(NROT)]
+
+    mnorm = jnp.zeros((LANE, LANE), f32)
+    for a in range(NROT):
+        for b in range(NROT):
+            mnorm = mnorm + P(a, b) * bc1[a] * bc1[b].T
+    rmnorm = 1.0 / jnp.maximum(mnorm, EPS)
+
+    tadj = triu * adjP
+    edge_en = jnp.zeros((LANE, LANE), f32)
+    X = jnp.zeros((NBP, NBP), f32)
+    for b in range(NROT):
+        Zb = jnp.zeros((NBP, LANE), f32)
+        for a in range(NROT):
+            pv = validB[a] * validB[b].T
+            mm = P(a, b) * bc1[a] * bc1[b].T * rmnorm
+            pbb = P(a, b) * bB1[a] * bB1[b].T
+            edge_en = edge_en + pv * mm * jnp.log((EPS + mm) / (EPS + pbb))
+            G = tadj * pv * mm * pbb / (EPS + pbb)
+            Zb = Zb + jax.lax.dot(S6T[:, a * LANE:(a + 1) * LANE],
+                                  G.astype(cdt),
+                                  preferred_element_type=f32)
+        X = X + jax.lax.dot(Zb.astype(cdt), S6[b * LANE:(b + 1) * LANE, :],
+                            preferred_element_type=f32)
+
+    de_ref[0] = X + X.T
+    f_ref[0] = (jnp.sum(node_en) + jnp.sum(tadj * edge_en)).reshape(1, 1)
+
+
+def _scatter_onehots(res, rot, nbp, dtype=np.float32):
+    """Static bead -> (rot-slot, residue) scatter matrix S6: row a*128+ri is
+    hot at bead columns with (rot, residue) == (a, ri).  Exact in bf16."""
+    res = np.asarray(res)
+    rot = np.asarray(rot)
+    S = np.zeros((NROT * LANE, nbp), dtype)
+    S[rot * LANE + res, np.arange(len(res))] = 1.0
+    return S
+
+
+def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
+                   E1, E_pair, S6, S6T, valid, init):
+    """Pad and invoke the mega-kernel over a leading replica axis.
+    E1 (b, R, 6), E_pair (b, nb, nb); S6/S6T/valid shared."""
+    f32 = jnp.float32
+    n_rep, nb_count = E_pair.shape[0], E_pair.shape[1]
+    NBP = S6.shape[1]
+    cdt = jnp.bfloat16 if bf16 else f32
+    e1p = jnp.pad(E1.astype(f32),
+                  ((0, 0), (0, LANE - R), (0, 8 - NROT)))
+    epp = jnp.pad(E_pair.astype(f32),
+                  ((0, 0), (0, NBP - nb_count), (0, NBP - nb_count)))
+    valp = jnp.pad(jnp.asarray(valid, f32), ((0, LANE - R), (0, 8 - NROT)))
+    operands = [e1p, epp, S6.astype(cdt), S6T.astype(cdt), valp]
+    warm = init is not None
+    if warm:
+        nb0, eb0 = init
+        operands.append(jnp.pad(nb0.astype(f32),
+                                ((0, 0), (0, LANE - nb0.shape[1]),
+                                 (0, 2)))[:, :, :8])
+        operands.append(eb0.astype(f32))
+
+    rspec = [
+        pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NBP, NBP), lambda r: (r, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NROT * LANE, NBP), lambda r: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NBP, NROT * LANE), lambda r: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((LANE, 8), lambda r: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if warm:
+        rspec.append(pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        rspec.append(pl.BlockSpec((1, NROT, LANE, LANE),
+                                  lambda r: (r, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+
+    F, G1, dE, nb, eb = pl.pallas_call(
+        functools.partial(_bp_pairs_kernel, R, NBP, damping, max_iter, tol,
+                          chunk, warm, bf16),
+        grid=(n_rep,),
+        in_specs=rspec,
+        out_specs=(
+            pl.BlockSpec((1, 1, 1), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NBP, NBP), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NROT, LANE, LANE), lambda r: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rep, 1, 1), f32),
+            jax.ShapeDtypeStruct((n_rep, LANE, 8), f32),
+            jax.ShapeDtypeStruct((n_rep, NBP, NBP), f32),
+            jax.ShapeDtypeStruct((n_rep, LANE, 8), f32),
+            jax.ShapeDtypeStruct((n_rep, NROT, LANE, LANE), f32),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return (F[:, 0, 0], G1[:, :R, :NROT], dE[:, :nb_count, :nb_count],
+            nb[:, :, :NROT], eb)
+
+
+@functools.lru_cache(maxsize=None)
+def _pairs_dispatch(static, interpret, bf16, warm):
+    """custom_vmap wrapper: a replica ensemble maps to the kernel's grid
+    with the scatter one-hots and validity mask shared, not broadcast."""
+    R, damping, max_iter, tol, chunk = static
+
+    @jax.custom_batching.custom_vmap
+    def run(E1, E_pair, S6, S6T, valid, nb0, eb0):
+        init = (nb0[None], eb0[None]) if warm else None
+        F, G1, dE, nb, eb = _bp_pairs_impl(
+            R, damping, max_iter, tol, chunk, interpret, bf16,
+            E1[None], E_pair[None], S6, S6T, valid, init)
+        return F[0], G1[0], dE[0], nb[0], eb[0]
+
+    @run.def_vmap
+    def rule(axis_size, in_batched, E1, E_pair, S6, S6T, valid, nb0, eb0):
+        e1b, epb, s6b, s6tb, vb, nbb, ebb = in_batched
+        if s6b or s6tb or vb:
+            raise NotImplementedError(
+                "per-replica scatter structure is static by construction")
+        if not e1b:
+            E1 = jnp.broadcast_to(E1, (axis_size,) + E1.shape)
+        if not epb:
+            E_pair = jnp.broadcast_to(E_pair, (axis_size,) + E_pair.shape)
+        if warm:
+            if not nbb:
+                nb0 = jnp.broadcast_to(nb0, (axis_size,) + nb0.shape)
+            if not ebb:
+                eb0 = jnp.broadcast_to(eb0, (axis_size,) + eb0.shape)
+            init = (nb0, eb0)
+        else:
+            init = None
+        out = _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret,
+                             bf16, E1, E_pair, S6, S6T, valid, init)
+        return out, (True,) * 5
+
+    return run
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def bp_bethe_pairs(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
+                   init):
+    """Bethe free energy straight from bead-space pair energies.
+
+    static: (R, damping, max_iter, tol, chunk); E1 (R, 6) one-body
+    energies; E_pair (nb, nb) pair-energy grid (each unordered pair counted
+    once, upper triangle); S6/S6T the static scatter one-hots from
+    _scatter_onehots; valid (R, 6) slot validity; init None or padded warm
+    messages (nb0 (128, 6..8), eb0 (6, 128, 128)).
+
+    Returns (F, nb, eb).  Gradients flow to E1 and E_pair only, via the
+    envelope theorem (reference rotamer.cpp:956-985); spurious pair-
+    marginal gradients on out-of-cutoff bead pairs are zeroed by the pair
+    kernel's own cutoff mask downstream."""
+    warm = init is not None
+    nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
+                                  jnp.zeros((NROT, LANE, LANE), jnp.float32))
+    F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm)(
+        E1, E_pair, S6, S6T, valid, nb0, eb0)
+    return F, nb, eb
+
+
+def _bp_pairs_fwd(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
+                  init):
+    warm = init is not None
+    nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
+                                  jnp.zeros((NROT, LANE, LANE), jnp.float32))
+    F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm)(
+        E1, E_pair, S6, S6T, valid, nb0, eb0)
+    return (F, nb, eb), (G1, dE, jnp.zeros((0,), E1.dtype),
+                         jnp.zeros((0,), E_pair.dtype))
+
+
+def _bp_pairs_bwd(static, interpret, bf16, res, cot):
+    G1, dE, z1, z2 = res
+    gF = cot[0]
+    return (gF * G1.astype(z1.dtype), gF * dE.astype(z2.dtype),
+            None, None, None, None)
+
+
+bp_bethe_pairs.defvjp(_bp_pairs_fwd, _bp_pairs_bwd)
