@@ -97,3 +97,49 @@ def test_vmap_replica_blocking_matches_per_replica(rng):
     for a, b, name in zip(g_b, g_s, ("x1", "x2")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, err_msg=name)
+
+
+def test_colsum_matches_xla(rng):
+    from upside_md_tpu.ops.pallas_quadspline import quadspline_colsum_pallas
+
+    x1, x2, t1, t2, table, mask, ka, k = setup(rng, n1=40, n2=60)
+    inv_dx = 1.0
+    w1 = jnp.asarray(rng.random(40) + 0.1)
+    gj = jnp.asarray(rng.normal(size=(60,)))
+
+    def loss_ref(x1_, x2_, table_, w1_):
+        cov = xla_reference(table_, t1, t2, x1_, x2_, mask, ka, k, inv_dx)
+        return jnp.sum(gj * jnp.sum(w1_[:, None] * cov, axis=0))
+
+    def loss_pl(x1_, x2_, table_, w1_):
+        out = quadspline_colsum_pallas((ka, k, inv_dx), True, table_, t1,
+                                       t2, x1_, x2_, mask, w1_)
+        return jnp.sum(gj * out)
+
+    ref_v, ref_g = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        x1, x2, table, w1)
+    pl_v, pl_g = jax.value_and_grad(loss_pl, argnums=(0, 1, 2, 3))(
+        x1, x2, table, w1)
+    assert abs(float(ref_v) - float(pl_v)) < 1e-4 * max(1.0, abs(float(ref_v)))
+    for a, b in zip(pl_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_colsum_vmapped(rng):
+    from upside_md_tpu.ops.pallas_quadspline import quadspline_colsum_pallas
+
+    x1, x2, t1, t2, table, mask, ka, k = setup(rng, n1=20, n2=30)
+    inv_dx = 1.0
+    B = 3
+    x1b = jnp.stack([x1 + 0.05 * i for i in range(B)])
+    x2b = jnp.stack([x2 - 0.05 * i for i in range(B)])
+    w1b = jnp.asarray(rng.random((B, 20)) + 0.1)
+
+    f = lambda a, b, w: quadspline_colsum_pallas(  # noqa: E731
+        (ka, k, inv_dx), True, table, t1, t2, a, b, mask, w)
+    out_b = jax.vmap(f)(x1b, x2b, w1b)
+    for i in range(B):
+        np.testing.assert_allclose(np.asarray(out_b[i]),
+                                   np.asarray(f(x1b[i], x2b[i], w1b[i])),
+                                   atol=1e-5)

@@ -137,6 +137,18 @@ def _hbond_coverage(consts, params, inputs, extra):
             jnp.where(nmask, val, 0.0).reshape(-1), mode='drop')[:n2]
         return out[:, None]
 
+    import os
+    if (jax.default_backend() == 'tpu'
+            and not os.environ.get('UPSIDE_NO_PALLAS')):
+        # fused coverage contraction: per-sidechain sums come out of the
+        # pair kernel directly, so the (n1, n2) grid never touches HBM
+        from ..ops.pallas_quadspline import quadspline_colsum_pallas
+        out = quadspline_colsum_pallas(
+            (ka, k, 1.0 / dx), False, jnp.asarray(table),
+            jnp.asarray(consts["type1"]), jnp.asarray(consts["type2"]),
+            hb_nodes[:, :7], sc[:, :6], base_mask, prefactor)
+        return out[:, None]
+
     from ..ops.pairs import pair_coverage
     cov = pair_coverage(table, consts["type1"], consts["type2"],
                         hb_nodes, sc, base_mask, ka, k, dx)

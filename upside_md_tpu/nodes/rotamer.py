@@ -174,10 +174,24 @@ def assemble_one_body(consts, params, inputs):
     valid = jnp.asarray(consts["valid"])    # (n_res, 6) bool
     onehot = jnp.asarray(consts["onehot"], x.dtype)      # (n_bead, n_res*6)
 
-    e_bead = jnp.zeros((x.shape[0],), x.dtype)
-    for pn in prob_nodes:
-        e_bead = e_bead + pn[idx, 0]
-    E1 = (e_bead @ onehot).reshape(n_res, MAX_ROT)
+    if prob_nodes and all(pn.shape == prob_nodes[0].shape
+                          for pn in prob_nodes):
+        # fold the bead gather into the rot-slot scatter: one static
+        # matrix G[(ri,a), row] = sum_{n: idx[n]=row} onehot[n, ri*6+a]
+        # turns gather + scatter-add (slow on TPU) into a single matvec
+        n_rows = prob_nodes[0].shape[0]
+        G = np.zeros((n_res * MAX_ROT, n_rows), np.float32)
+        np.add.at(G, (np.argmax(consts["onehot"], axis=1),
+                      np.asarray(idx)), 1.0)
+        e_rows = prob_nodes[0][:, 0]
+        for pn in prob_nodes[1:]:
+            e_rows = e_rows + pn[:, 0]
+        E1 = (jnp.asarray(G, x.dtype) @ e_rows).reshape(n_res, MAX_ROT)
+    else:
+        e_bead = jnp.zeros((x.shape[0],), x.dtype)
+        for pn in prob_nodes:
+            e_bead = e_bead + pn[idx, 0]
+        E1 = (e_bead @ onehot).reshape(n_res, MAX_ROT)
     offset = jnp.min(jnp.where(valid, E1, jnp.inf), axis=-1)
     prob = jnp.where(valid, jnp.exp(offset[:, None] - E1), 0.0)
     return x, E1, offset, prob, valid

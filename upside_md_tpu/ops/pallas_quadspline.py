@@ -41,64 +41,98 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 RB_FWD = 4    # replicas per forward grid step (VMEM-bounded)
 RB_BWD = 2    # replicas per backward grid step (more live tensors)
-SIXTH = (1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0)
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _window_accumulate(x_coord, n_knot, clamped, get_C, seg_offs,
-                       want_deriv):
+# Uniform cubic B-spline basis, expanded in powers of the in-interval
+# fraction t: value = sum_kk w_kk(t) * C[i-1+kk] = sum_d t^d * Q_d(i) with
+# Q_d(i) = sum_kk BETA[kk][d] * C[i-1+kk].  Evaluating Horner on interval-
+# selected poly coefficients needs one select per interval per coefficient
+# instead of four compare+selects per KNOT — and the derivative reuses the
+# same Q planes.
+BETA = np.array([
+    [1 / 6, -1 / 2, 1 / 2, -1 / 6],   # C[i-1]:  (1/6)(1-t)^3
+    [4 / 6, 0.0, -1.0, 1 / 2],        # C[i]:    (1/6)(3t^3-6t^2+4)
+    [1 / 6, 1 / 2, 1 / 2, -1 / 2],    # C[i+1]:  (1/6)(-3t^3+3t^2+3t+1)
+    [0.0, 0.0, 0.0, 1 / 6],           # C[i+2]:  (1/6)t^3
+], np.float64)
+
+
+def _poly_matrix(ka, k):
+    """Knot-axis linear map from the raw quadspline parameter rows
+    [ang1 (ka), ang2 (ka), wide (k), narrow (k)] to per-interval cubic
+    coefficients [(ka-3)*4, (ka-3)*4, (k-3)*4, (k-3)*4].  Applied to the
+    parameter table once at prep time (position-independent)."""
+    def seg(n):
+        P = np.zeros((n, (n - 3) * 4), np.float64)
+        for iv in range(n - 3):       # interval index i = iv + 1
+            for kk in range(4):
+                P[iv + kk, iv * 4:(iv + 1) * 4] = BETA[kk]
+        return P
+    blocks = [seg(ka), seg(ka), seg(k), seg(k)]
+    M = ka * 2 + k * 2
+    Mp = sum(b.shape[1] for b in blocks)
+    P = np.zeros((M, Mp), np.float32)
+    r = c = 0
+    for b in blocks:
+        P[r:r + b.shape[0], c:c + b.shape[1]] = b
+        r += b.shape[0]
+        c += b.shape[1]
+    return P
+
+
+def _poly_offsets(ka, k):
+    """Slab offsets of the four segments in the poly-expanded table."""
+    na, nd = (ka - 3) * 4, (k - 3) * 4
+    return 0, na, 2 * na, 2 * na + nd
+
+
+def _poly_accumulate(x_coord, n_knot, clamped, get_C, seg_offs, want_deriv):
     """Values (and optionally d/dx) of one or more spline segments sharing
-    the coordinate `x_coord` (any shape; the (RB, TI, TJ) replica block in
-    the batched kernel).  get_C(global_m) returns the (TI, TJ) per-pair
-    parameter plane of knot m, built on the fly from type one-hots —
-    nothing of size (TI, TJ, M) is ever materialized.  Segments listed in
-    seg_offs share taps and selects; only the C-plane FMAs differ."""
+    the coordinate `x_coord` ((RB, TI, TJ) blocks in the batched kernels).
+    get_C(slab) returns the (TI, TJ) per-pair poly-coefficient plane, built
+    on the fly from type one-hots — nothing of size (TI, TJ, M) is ever
+    materialized.  Segments listed in seg_offs share the interval selects.
+
+    Clamping comes out of the clipped coordinate for free: at x <= 1 the
+    fraction t is 0 and Q_0(1) is exactly the reference's left boundary
+    stencil (c0 + 4 c1 + c2)/6; at x >= n-2, t = 1 in the last interval
+    gives the right stencil.  Only the derivative needs masking."""
     n = n_knot
     lo, hi = 1.0, float(n - 2)
     xc = jnp.clip(x_coord, lo, hi)
     i = jnp.clip(jnp.floor(xc).astype(jnp.int32), 1, n - 3)
     t = xc - i.astype(xc.dtype)
-    s = 1.0 - t
-    w = [(1.0 / 6.0) * s * s * s,
-         (1.0 / 6.0) * (3.0 * t * t * t - 6.0 * t * t + 4.0),
-         (1.0 / 6.0) * (-3.0 * t * t * t + 3.0 * t * t + 3.0 * t + 1.0),
-         (1.0 / 6.0) * t * t * t]
-    dw = [-0.5 * s * s,
-          0.5 * (3.0 * t * t - 4.0 * t),
-          0.5 * (-3.0 * t * t + 2.0 * t + 1.0),
-          0.5 * t * t]
-    if clamped:
-        too_small = x_coord <= lo
-        too_big = x_coord >= hi
 
-    vals = [jnp.zeros_like(x_coord) for _ in seg_offs]
-    ders = [jnp.zeros_like(x_coord) for _ in seg_offs]
-    for m in range(n):
-        rel = m - i
-        wm = jnp.zeros_like(x_coord)
-        dm = jnp.zeros_like(x_coord)
-        for kk in range(4):
-            sel = rel == (kk - 1)
-            wm = jnp.where(sel, w[kk], wm)
-            if want_deriv:
-                dm = jnp.where(sel, dw[kk], dm)
-        if clamped:
-            # constant boundary value stencils, zero boundary slope
-            wm = jnp.where(too_small, SIXTH[m] if m < 3 else 0.0, wm)
-            wm = jnp.where(too_big,
-                           SIXTH[m - (n - 3)] if m >= n - 3 else 0.0, wm)
-            if want_deriv:
-                dm = jnp.where(too_small | too_big, 0.0, dm)
-        for si, off in enumerate(seg_offs):
-            C_m = get_C(off + m)
-            if x_coord.ndim == 3:
-                C_m = C_m[None]
-            vals[si] = vals[si] + wm * C_m
-            if want_deriv:
-                ders[si] = ders[si] + dm * C_m
+    n_int = n - 3
+    sels = [i == (iv + 1) for iv in range(n_int)]
+    nseg = len(seg_offs)
+    Q = [[jnp.zeros_like(x_coord) for _ in range(4)] for _ in range(nseg)]
+    TJ = x_coord.shape[-1]
+    for si, off in enumerate(seg_offs):
+        for d in range(4):
+            # all of this (segment, degree)'s interval planes in one matmul
+            C_all = get_C.group([off + iv * 4 + d for iv in range(n_int)])
+            for iv in range(n_int):
+                C = C_all[:, iv * TJ:(iv + 1) * TJ]
+                if x_coord.ndim == 3:
+                    C = C[None]
+                Q[si][d] = jnp.where(sels[iv], C, Q[si][d])
+
+    vals, ders = [], []
+    for si in range(nseg):
+        q0, q1, q2, q3 = Q[si]
+        vals.append(((q3 * t + q2) * t + q1) * t + q0)
+        if want_deriv:
+            dv = (3.0 * q3 * t + 2.0 * q2) * t + q1
+            if clamped:
+                dv = jnp.where((x_coord <= lo) | (x_coord >= hi), 0.0, dv)
+            ders.append(dv)
+        else:
+            ders.append(None)
     return vals, ders
 
 
@@ -121,13 +155,23 @@ def _geometry(x1_ref, x2t_ref):
 
 
 def _make_get_C(oh1_ref, t2t_ref, A):
-    """Closure producing the (TI, TJ) parameter plane of knot m:
-    C_m = oh1 @ t2flat[m*A:(m+1)*A] — one small MXU matmul per knot,
-    shared across the RB replicas of the grid step."""
+    """Closure producing per-pair parameter planes from the type one-hots,
+    shared across the RB replicas of the grid step.  get_C_group builds
+    the planes of several slabs with ONE wider MXU matmul (the slabs are
+    column-concatenated in VMEM first — tiny (A, TJ) copies), so a
+    segment's interval planes don't pay per-matmul issue overhead."""
     def get_C(m):
         slab = t2t_ref[m * A:(m + 1) * A, :]          # (A, TJ) static slice
         return jnp.dot(oh1_ref[:, :], slab,
                        preferred_element_type=jnp.float32)  # MXU (TI,TJ)
+
+    def get_C_group(ms):
+        rhs = jnp.concatenate([t2t_ref[m * A:(m + 1) * A, :] for m in ms],
+                              axis=1)                 # (A, len(ms)*TJ)
+        return jnp.dot(oh1_ref[:, :], rhs,
+                       preferred_element_type=jnp.float32)
+
+    get_C.group = get_C_group
     return get_C
 
 
@@ -148,13 +192,14 @@ def _fwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
         _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
         get_C = _make_get_C(oh1_ref, t2t_ref, A)
 
+        o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
         s = dist * inv_dx
-        (a1,), _ = _window_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
-                                      False, get_C, (0,), False)
-        (a2,), _ = _window_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
-                                      False, get_C, (ka,), False)
-        (wide, narrow), _ = _window_accumulate(s, k, True, get_C,
-                                               (2 * ka, 2 * ka + k), False)
+        (a1,), _ = _poly_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
+                                    False, get_C, (o_a1,), False)
+        (a2,), _ = _poly_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
+                                    False, get_C, (o_a2,), False)
+        (wide, narrow), _ = _poly_accumulate(s, k, True, get_C,
+                                             (o_w, o_n), False)
         live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
         out_ref[:, :, :] = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
 
@@ -180,13 +225,14 @@ def _bwd_kernel(ka, k, inv_dx, A, n_j, x1_ref, x2t_ref, oh1_ref, t2t_ref,
             x1_ref, x2t_ref)
         get_C = _make_get_C(oh1_ref, t2t_ref, A)
 
+        o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
         s = dist * inv_dx
-        (a1,), (da1,) = _window_accumulate(
-            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (0,), True)
-        (a2,), (da2,) = _window_accumulate(
-            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (ka,), True)
-        (wide, narrow), (dwide, dnarrow) = _window_accumulate(
-            s, k, True, get_C, (2 * ka, 2 * ka + k), True)
+        (a1,), (da1,) = _poly_accumulate(
+            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a1,), True)
+        (a2,), (da2,) = _poly_accumulate(
+            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a2,), True)
+        (wide, narrow), (dwide, dnarrow) = _poly_accumulate(
+            s, k, True, get_C, (o_w, o_n), True)
         del wide
 
         live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
@@ -237,24 +283,143 @@ def _bwd_kernel(ka, k, inv_dx, A, n_j, x1_ref, x2t_ref, oh1_ref, t2t_ref,
         d2_ref[0, :, :, :] = jnp.concatenate(rows, axis=1)  # (1, RB, 8, TJ)
 
 
-def _prep(table, t1, t2, x1, x2, mask):
+def _colsum_fwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
+                       mask_ref, out_ref):
+    """Column sums of w_i * quadspline(i, j): the coverage contraction
+    (hbond.cpp:241-286) fused into the pair kernel, so the dense (n1, n2)
+    value grid never exists.  The per-row weight w_i rides in column 6 of
+    the x1 block; the (rb, j) output block accumulates across i-tiles
+    (innermost grid dim)."""
+    inv_dtheta = (ka - 3) / 2.0
+    it = pl.program_id(2)
+    alive = jnp.any(mask_ref[:, :] > 0)
+
+    @pl.when(it == 0)
+    def _():
+        out_ref[:, :, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(alive)
+    def _():
+        _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
+        get_C = _make_get_C(oh1_ref, t2t_ref, A)
+        o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
+        s = dist * inv_dx
+        (a1,), _ = _poly_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
+                                    False, get_C, (o_a1,), False)
+        (a2,), _ = _poly_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
+                                    False, get_C, (o_a2,), False)
+        (wide, narrow), _ = _poly_accumulate(s, k, True, get_C,
+                                             (o_w, o_n), False)
+        live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
+        w = x1_ref[:, :, 6:7]
+        val = jnp.where(live, w * (wide + a1 * a2 * narrow), 0.0)
+        out_ref[:, 0:1, :] = out_ref[:, 0:1, :] + jnp.sum(val, 1,
+                                                          keepdims=True)
+
+
+def _colsum_bwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
+                       mask_ref, g_ref, d1_ref, d2_ref):
+    """Backward of the coverage contraction.  The pair cotangent is the
+    rank-1 outer product w_i * g_j, built in-registers from the column-6
+    weight and the (rb, 1, TJ) cotangent row; position/direction cotangents
+    follow the reference derivative partition (bead_interaction.h:61-73)
+    and dsum/dw_i lands in column 6 of d1."""
+    inv_dtheta = (ka - 3) / 2.0
+    j = pl.program_id(2)
+    alive = jnp.any(mask_ref[:, :] > 0)
+
+    @pl.when(jnp.logical_not(alive))
+    def _():
+        @pl.when(j == 0)
+        def _():
+            d1_ref[:, :, :] = jnp.zeros_like(d1_ref)
+        d2_ref[0, :, :, :] = jnp.zeros_like(d2_ref[0])
+
+    @pl.when(alive)
+    def _():
+        dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
+            x1_ref, x2t_ref)
+        get_C = _make_get_C(oh1_ref, t2t_ref, A)
+        o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
+        s = dist * inv_dx
+        (a1,), (da1,) = _poly_accumulate(
+            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a1,), True)
+        (a2,), (da2,) = _poly_accumulate(
+            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a2,), True)
+        (wide, narrow), (dwide, dnarrow) = _poly_accumulate(
+            s, k, True, get_C, (o_w, o_n), True)
+
+        live = (mask_ref[:, :] > 0)[None] & (s < (k - 2 - 1e-6))
+        w = x1_ref[:, :, 6:7]
+        grow = g_ref[:, 0:1, :]
+        g = jnp.where(live, w * grow, 0.0)
+        radial = g * (dwide + a1 * a2 * dnarrow) * inv_dx
+        c1 = g * da1 * inv_dtheta * a2 * narrow
+        c2 = g * da2 * inv_dtheta * a1 * narrow
+
+        f1 = c1 * inv_dist
+        f2 = c2 * inv_dist
+        gx = (radial * ux + f1 * (dir1[0] - cos1 * ux)
+              - f2 * (dir2[0] + cos2 * ux))
+        gy = (radial * uy + f1 * (dir1[1] - cos1 * uy)
+              - f2 * (dir2[1] + cos2 * uy))
+        gz = (radial * uz + f1 * (dir1[2] - cos1 * uz)
+              - f2 * (dir2[2] + cos2 * uz))
+
+        dw = jnp.where(live, grow * (wide + a1 * a2 * narrow), 0.0)
+
+        cols = []
+        for arr, sgn in ((gx, -1.0), (gy, -1.0), (gz, -1.0),
+                         (c1 * ux, 1.0), (c1 * uy, 1.0), (c1 * uz, 1.0),
+                         (dw, 1.0)):
+            cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
+        cols.append(jnp.zeros_like(cols[0]))
+        block = jnp.concatenate(cols, axis=2)          # (RB, TI, 8)
+
+        @pl.when(j == 0)
+        def _():
+            d1_ref[:, :, :] = block
+
+        @pl.when(j > 0)
+        def _():
+            d1_ref[:, :, :] = d1_ref[:, :, :] + block
+
+        rows = []
+        for arr, sgn in ((gx, 1.0), (gy, 1.0), (gz, 1.0),
+                         (c2 * ux, -1.0), (c2 * uy, -1.0), (c2 * uz, -1.0)):
+            rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        d2_ref[0, :, :, :] = jnp.concatenate(rows, axis=1)  # (1, RB, 8, TJ)
+
+
+def _prep(table, t1, t2, x1, x2, mask, w1=None):
     """Pad to tiles and precompute the position-independent operands.
-    x1, x2 carry a leading replica axis."""
+    x1, x2 carry a leading replica axis; w1 (optional per-row weights)
+    ride in column 6 of the padded x1 block."""
     A, B, M = table.shape
     n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
     n1p, n2p = _round_up(n1, TILE), _round_up(n2, TILE)
-    x1p = jnp.pad(x1[:, :, :6].astype(jnp.float32),
-                  ((0, 0), (0, n1p - n1), (0, 2)))
+    x16 = x1[:, :, :6].astype(jnp.float32)
+    if w1 is not None:
+        x16 = jnp.concatenate([x16, w1.astype(jnp.float32)[:, :, None]],
+                              axis=2)
+    x1p = jnp.pad(x16, ((0, 0), (0, n1p - n1), (0, 8 - x16.shape[2])))
     x2p = jnp.pad(jnp.swapaxes(x2[:, :, :6].astype(jnp.float32), 1, 2),
                   ((0, 0), (0, 2), (0, n2p - n2)))
     oh1 = jax.nn.one_hot(t1, A, dtype=jnp.float32)
     oh1 = jnp.pad(oh1, ((0, n1p - n1), (0, 0)))
     oh2 = jax.nn.one_hot(t2, B, dtype=jnp.float32)
-    # t2flat[m*A + a, j] = sum_b table[a,b,m] * oh2[j,b] — m-major rows so
-    # each knot's (A, TJ) slab is a static contiguous slice in the kernel;
-    # position-independent, hoisted out of MD loops by XLA
-    t2t = jnp.einsum('abm,jb->maj', table.astype(jnp.float32), oh2)
-    t2t = t2t.reshape(M * A, n2)
+    # poly-expand the knot axis (a static linear map of the parameter
+    # table, position-independent, hoisted out of MD loops by XLA), then
+    # t2flat[p*A + a, j] = sum_b tpoly[a,b,p] * oh2[j,b] — slab-major rows
+    # so each poly-coefficient plane is a static contiguous kernel slice
+    from .pairs import quadspline_family
+    ka, k, _ = quadspline_family(M)
+    P = jnp.asarray(_poly_matrix(ka, k))
+    tpoly = jnp.einsum('abm,mp->abp', table.astype(jnp.float32), P)
+    t2t = jnp.einsum('abp,jb->paj', tpoly, oh2)
+    t2t = t2t.reshape(tpoly.shape[-1] * A, n2)
     t2t = jnp.pad(t2t, ((0, 0), (0, n2p - n2)))
     maskp = jnp.pad(mask.astype(jnp.float32), ((0, n1p - n1), (0, n2p - n2)))
     return x1p, x2p, oh1, t2t, maskp, n1p, n2p
@@ -288,13 +453,14 @@ def _fwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask):
     A, B, M = table.shape
     n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
     x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
+    Mp = t2t.shape[0] // A
     rb = min(rb, max(n_rep, 1))
     x1p, n_rb = _pad_reps(x1p, rb)
     x2p, _ = _pad_reps(x2p, rb)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, ka, k, inv_dx, A),
         grid=(n_rb, n1p // TILE, n2p // TILE),
-        in_specs=_common_specs(A, M, rb),
+        in_specs=_common_specs(A, Mp, rb),
         out_specs=pl.BlockSpec((rb, TILE, TILE), lambda r, i, j: (r, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rb * rb, n1p, n2p), jnp.float32),
@@ -310,6 +476,7 @@ def _bwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask, g):
     A, B, M = table.shape
     n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
     x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
+    Mp = t2t.shape[0] // A
     rb = min(rb, max(n_rep, 1))
     x1p, n_rb = _pad_reps(x1p, rb)
     x2p, _ = _pad_reps(x2p, rb)
@@ -320,7 +487,7 @@ def _bwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask, g):
     d1, d2_part = pl.pallas_call(
         functools.partial(_bwd_kernel, ka, k, inv_dx, A, n_j),
         grid=(n_rb, n1p // TILE, n_j),
-        in_specs=_common_specs(A, M, rb) + [
+        in_specs=_common_specs(A, Mp, rb) + [
             pl.BlockSpec((rb, TILE, TILE), lambda r, i, j: (r, i, j),
                          memory_space=pltpu.VMEM)],
         out_specs=(
@@ -337,6 +504,82 @@ def _bwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask, g):
         interpret=interpret,
     )(x1p, x2p, oh1, t2t, maskp, gp)
     d2 = jnp.swapaxes(jnp.sum(d2_part, axis=0), 1, 2)    # (R, n2p, 8)
+    return d1[:n_rep, :n1], d2[:n_rep, :n2]
+
+
+def _colsum_fwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask,
+                        w1):
+    """Weighted column sums over a replica ensemble: x1 (R, n1, >=6) with
+    weights w1 (R, n1); returns (R, n2)."""
+    ka, k, inv_dx = family
+    A, B, M = table.shape
+    n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
+    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask,
+                                                w1)
+    Mp = t2t.shape[0] // A
+    rb = min(rb, max(n_rep, 1))
+    x1p, n_rb = _pad_reps(x1p, rb)
+    x2p, _ = _pad_reps(x2p, rb)
+    out = pl.pallas_call(
+        functools.partial(_colsum_fwd_kernel, ka, k, inv_dx, A),
+        grid=(n_rb, n2p // TILE, n1p // TILE),
+        in_specs=[
+            pl.BlockSpec((rb, TILE, 8), lambda r, j, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda r, j, i: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, A), lambda r, j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp * A, TILE), lambda r, j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda r, j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, 8, TILE), lambda r, j, i: (r, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rb * rb, 8, n2p), jnp.float32),
+        interpret=interpret,
+    )(x1p, x2p, oh1, t2t, maskp)
+    return out[:n_rep, 0, :n2].astype(x1.dtype)
+
+
+def _colsum_bwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask,
+                        w1, g):
+    """Backward of the coverage contraction: (dx1 (R,n1,8) with dw in
+    column 6, dx2 (R,n2,8)) from the (R, n2) cotangent."""
+    ka, k, inv_dx = family
+    A, B, M = table.shape
+    n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
+    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask,
+                                                w1)
+    Mp = t2t.shape[0] // A
+    rb = min(rb, max(n_rep, 1))
+    x1p, n_rb = _pad_reps(x1p, rb)
+    x2p, _ = _pad_reps(x2p, rb)
+    gp = jnp.pad(g.astype(jnp.float32)[:, None, :],
+                 ((0, n_rb * rb - n_rep), (0, 7), (0, n2p - n2)))
+
+    n_j = n2p // TILE
+    d1, d2_part = pl.pallas_call(
+        functools.partial(_colsum_bwd_kernel, ka, k, inv_dx, A),
+        grid=(n_rb, n1p // TILE, n_j),
+        in_specs=_common_specs(A, Mp, rb) + [
+            pl.BlockSpec((rb, 8, TILE), lambda r, i, j: (r, 0, j),
+                         memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((rb, TILE, 8), lambda r, i, j: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 8, TILE), lambda r, i, j: (i, r, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rb * rb, n1p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n1p // TILE, n_rb * rb, 8, n2p),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )(x1p, x2p, oh1, t2t, maskp, gp)
+    d2 = jnp.swapaxes(jnp.sum(d2_part, axis=0), 1, 2)
     return d1[:n_rep, :n1], d2[:n_rep, :n2]
 
 
@@ -432,20 +675,13 @@ def _fwd_rule(family, interpret, table, t1, t2, x1, x2, mask):
     return out, (table, t1, t2, x1, x2, mask)
 
 
-def _bwd_rule(family, interpret, res, g):
+def _table_cotangent(family, table, t1, t2, x1, x2, mask, g):
+    """Parameter-table cotangent via the XLA dense-window formulation;
+    XLA dead-code eliminates this whole block when the table gradient is
+    not consumed (i.e., in MD where only position gradients are used)."""
     ka, k, inv_dx = family
     inv_dtheta = (ka - 3) / 2.0
-    table, t1, t2, x1, x2, mask = res
     A, B, M = table.shape
-
-    d1, d2 = _bwd_dispatch(family, interpret)(table, t1, t2, x1, x2, mask,
-                                              g)
-    dx1 = jnp.zeros_like(x1).at[:, :6].set(d1[:, :6].astype(x1.dtype))
-    dx2 = jnp.zeros_like(x2).at[:, :6].set(d2[:, :6].astype(x2.dtype))
-
-    # parameter-table cotangent via the XLA dense-window formulation;
-    # XLA dead-code eliminates this whole block when the table gradient is
-    # not consumed (i.e., in MD where only position gradients are used)
     from .spline import bspline_window_weights
     disp = x2[None, :, 0:3] - x1[:, None, 0:3]
     dist2 = jnp.sum(disp * disp, -1) + 1e-12
@@ -471,9 +707,136 @@ def _bwd_rule(family, interpret, res, g):
         (gm * a1 * narrow)[..., None] * Wa2,
         gm[..., None] * Wd,
         (gm * a1 * a2)[..., None] * Wd], axis=-1)
-    d_table = jnp.einsum('ia,jb,ijm->abm', oh1f, oh2f, gW).astype(table.dtype)
+    return jnp.einsum('ia,jb,ijm->abm', oh1f, oh2f, gW).astype(table.dtype)
 
+
+def _bwd_rule(family, interpret, res, g):
+    table, t1, t2, x1, x2, mask = res
+
+    d1, d2 = _bwd_dispatch(family, interpret)(table, t1, t2, x1, x2, mask,
+                                              g)
+    dx1 = jnp.zeros_like(x1).at[:, :6].set(d1[:, :6].astype(x1.dtype))
+    dx2 = jnp.zeros_like(x2).at[:, :6].set(d2[:, :6].astype(x2.dtype))
+    d_table = _table_cotangent(family, table, t1, t2, x1, x2, mask, g)
     return (d_table, None, None, dx1, dx2, None)
 
 
 quadspline_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.lru_cache(maxsize=None)
+def _colsum_fwd_dispatch(family, interpret):
+    @jax.custom_batching.custom_vmap
+    def fwd(table, t1, t2, x1, x2, mask, w1):
+        return _colsum_fwd_batched(family, interpret, RB_FWD, table, t1, t2,
+                                   x1[None], x2[None], mask, w1[None])[0]
+
+    @fwd.def_vmap
+    def rule(axis_size, in_batched, table, t1, t2, x1, x2, mask, w1):
+        tb, t1b, t2b, x1b, x2b, mb, wb = in_batched
+        if tb or t1b or t2b or mb:
+            out = jax.lax.map(
+                lambda args: fwd(
+                    args[0] if tb else table, args[1] if t1b else t1,
+                    args[2] if t2b else t2, args[3], args[4],
+                    args[5] if mb else mask, args[6]),
+                (table if tb else jnp.zeros((axis_size,)),
+                 t1 if t1b else jnp.zeros((axis_size,)),
+                 t2 if t2b else jnp.zeros((axis_size,)),
+                 x1 if x1b else jnp.broadcast_to(x1, (axis_size,) + x1.shape),
+                 x2 if x2b else jnp.broadcast_to(x2, (axis_size,) + x2.shape),
+                 mask if mb else jnp.zeros((axis_size,)),
+                 w1 if wb else jnp.broadcast_to(w1, (axis_size,) + w1.shape)))
+            return out, True
+        if not x1b:
+            x1 = jnp.broadcast_to(x1, (axis_size,) + x1.shape)
+        if not x2b:
+            x2 = jnp.broadcast_to(x2, (axis_size,) + x2.shape)
+        if not wb:
+            w1 = jnp.broadcast_to(w1, (axis_size,) + w1.shape)
+        return _colsum_fwd_batched(family, interpret, RB_FWD, table, t1, t2,
+                                   x1, x2, mask, w1), True
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _colsum_bwd_dispatch(family, interpret):
+    @jax.custom_batching.custom_vmap
+    def bwd(table, t1, t2, x1, x2, mask, w1, g):
+        d1, d2 = _colsum_bwd_batched(family, interpret, RB_BWD, table, t1,
+                                     t2, x1[None], x2[None], mask, w1[None],
+                                     g[None])
+        return d1[0], d2[0]
+
+    @bwd.def_vmap
+    def rule(axis_size, in_batched, table, t1, t2, x1, x2, mask, w1, g):
+        tb, t1b, t2b, x1b, x2b, mb, wb, gb = in_batched
+        if tb or t1b or t2b or mb:
+            out = jax.lax.map(
+                lambda args: bwd(
+                    args[0] if tb else table, args[1] if t1b else t1,
+                    args[2] if t2b else t2, args[3], args[4],
+                    args[5] if mb else mask, args[6], args[7]),
+                (table if tb else jnp.zeros((axis_size,)),
+                 t1 if t1b else jnp.zeros((axis_size,)),
+                 t2 if t2b else jnp.zeros((axis_size,)),
+                 x1 if x1b else jnp.broadcast_to(x1, (axis_size,) + x1.shape),
+                 x2 if x2b else jnp.broadcast_to(x2, (axis_size,) + x2.shape),
+                 mask if mb else jnp.zeros((axis_size,)),
+                 w1 if wb else jnp.broadcast_to(w1, (axis_size,) + w1.shape),
+                 g if gb else jnp.broadcast_to(g, (axis_size,) + g.shape)))
+            return out, (True, True)
+        if not x1b:
+            x1 = jnp.broadcast_to(x1, (axis_size,) + x1.shape)
+        if not x2b:
+            x2 = jnp.broadcast_to(x2, (axis_size,) + x2.shape)
+        if not wb:
+            w1 = jnp.broadcast_to(w1, (axis_size,) + w1.shape)
+        if not gb:
+            g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+        d1, d2 = _colsum_bwd_batched(family, interpret, RB_BWD, table, t1,
+                                     t2, x1, x2, mask, w1, g)
+        return (d1, d2), (True, True)
+
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def quadspline_colsum_pallas(family, interpret, table, t1, t2, x1, x2, mask,
+                             w1):
+    """Weighted coverage sums out[j] = sum_i w1[i] * quadspline(i, j)
+    (reference hbond.cpp:241-286 coverage accumulation) without ever
+    materializing the (n1, n2) pair grid.  Same kernel math and cutoff
+    semantics as quadspline_pallas; gradients flow to x1 (pos+dir), x2,
+    w1 and the parameter table."""
+    return _colsum_fwd_dispatch(family, interpret)(table, t1, t2, x1, x2,
+                                                   mask, w1)
+
+
+def _colsum_fwd_rule(family, interpret, table, t1, t2, x1, x2, mask, w1):
+    out = _colsum_fwd_dispatch(family, interpret)(table, t1, t2, x1, x2,
+                                                  mask, w1)
+    return out, (table, t1, t2, x1, x2, mask, w1)
+
+
+def _colsum_bwd_rule(family, interpret, res, g):
+    ka, k, inv_dx = family
+    table, t1, t2, x1, x2, mask, w1 = res
+    A, B, M = table.shape
+
+    d1, d2 = _colsum_bwd_dispatch(family, interpret)(table, t1, t2, x1, x2,
+                                                     mask, w1, g)
+    dx1 = jnp.zeros_like(x1).at[:, :6].set(d1[:, :6].astype(x1.dtype))
+    dx2 = jnp.zeros_like(x2).at[:, :6].set(d2[:, :6].astype(x2.dtype))
+    dw1 = d1[:, 6].astype(w1.dtype)
+
+    # parameter-table cotangent through the XLA dense-window formulation
+    # with the rank-1 pair cotangent w1[i] * g[j]; XLA dead-code eliminates
+    # it when the table gradient is not consumed (MD)
+    gm_pair = w1[:, None] * g[None, :]
+    d_table = _table_cotangent(family, table, t1, t2, x1, x2, mask, gm_pair)
+    return (d_table, None, None, dx1, dx2, None, dw1)
+
+
+quadspline_colsum_pallas.defvjp(_colsum_fwd_rule, _colsum_bwd_rule)
