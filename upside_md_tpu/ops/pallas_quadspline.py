@@ -39,8 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
-RB_FWD = 4    # replicas per forward grid step (VMEM-bounded)
-RB_BWD = 2    # replicas per backward grid step (more live tensors)
+RB_FWD = 8    # replicas per forward grid step (VMEM-bounded)
+RB_BWD = 4    # replicas per backward grid step (more live tensors)
 
 
 def _round_up(x, m):
