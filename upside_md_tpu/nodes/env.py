@@ -11,11 +11,11 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pairs import (gather_pair_params, safe_inv_dist,
-                         sequence_exclusion_mask)
+from ..ops.pairs import safe_inv_dist, sequence_exclusion_mask
 from ..ops.sigmoid import compact_sigmoid
 from ..ops.spline import eval_clamped_bspline
 from .base import register_node
@@ -24,25 +24,33 @@ from .base import register_node
 def _environment_coverage(consts, params, inputs, extra):
     cb = inputs[0][consts["index1"]]   # (n1, 6): point + direction
     sc = inputs[1][consts["index2"]]   # (n2, 4): point + weight
-    p = gather_pair_params(params["interaction_param"],
-                           consts["type1"], consts["type2"])  # (n1,n2,4)
-    r0, r_sharp = p[..., 0], p[..., 1]
-    dot0, dot_sharp = p[..., 2], p[..., 3]
+    # per-parameter (n1, n2) planes from two one-hot matmuls each: keeps
+    # every intermediate in the natural pair layout (a trailing param dim
+    # of 4 relayouts terribly on TPU lanes)
+    table = jnp.asarray(params["interaction_param"])
+    oh1 = jax.nn.one_hot(consts["type1"], table.shape[0], dtype=table.dtype)
+    oh2 = jax.nn.one_hot(consts["type2"], table.shape[1], dtype=table.dtype)
+    r0, r_sharp, dot0, dot_sharp = [
+        oh1 @ table[:, :, c] @ oh2.T for c in range(4)]
 
-    disp = sc[None, :, 0:3] - cb[:, None, 0:3]
-    dist2 = jnp.sum(disp * disp, -1)
+    # structure-of-planes geometry: (n1,1) x (1,n2) broadcasts only, no
+    # (n1, n2, 3) intermediates with a 3-wide lane dim
+    dx = sc[:, 0][None, :] - cb[:, 0][:, None]
+    dy = sc[:, 1][None, :] - cb[:, 1][:, None]
+    dz = sc[:, 2][None, :] - cb[:, 2][:, None]
+    dist2 = dx * dx + dy * dy + dz * dz
     cutoff = r0 + 1.0 / r_sharp
     mask = sequence_exclusion_mask(consts["id1"], consts["id2"], 2) & \
         (dist2 < cutoff * cutoff)
 
     inv_dist = safe_inv_dist(dist2, mask=mask)
     dist = dist2 * inv_dist
-    u = disp * inv_dist[..., None]
-    dp = jnp.sum(u * cb[:, None, 3:6], -1)
+    dp = inv_dist * (dx * cb[:, 3][:, None] + dy * cb[:, 4][:, None]
+                     + dz * cb[:, 5][:, None])
 
     radial, _ = compact_sigmoid(dist - r0, r_sharp)
     angular, _ = compact_sigmoid(dot0 - dp, dot_sharp)
-    score = jnp.where(mask, sc[None, :, 3] * radial * angular, 0.0)
+    score = jnp.where(mask, sc[:, 3][None, :] * radial * angular, 0.0)
     return jnp.sum(score, axis=1)[:, None]   # per-CB burial
 
 
