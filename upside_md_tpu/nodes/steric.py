@@ -13,7 +13,6 @@ import jax.numpy as jnp
 
 from ..ops.geometry import quat_to_rot
 from ..ops.sigmoid import compact_sigmoid
-from ..ops.pairs import sequence_exclusion_mask, upper_triangle_mask
 from .base import register_node
 
 ENERGY_SCALE = 4.0
@@ -31,14 +30,22 @@ def _backbone_pairs(consts, params, inputs, extra):
     atoms = jnp.einsum('nij,naj->nai', R, jnp.asarray(ref_pos, affine.dtype)) \
         + t[:, None, :]                    # (n_res, 4, 3)
 
-    pair_ok = sequence_exclusion_mask(consts["id"], consts["id"], 1) & \
-        upper_triangle_mask(affine.shape[0])
+    # flatten to atom level: one (4*n_res, 4*n_res) pair plane instead of
+    # an (n_res, n_res, 4, 4) tensor whose 4-wide trailing dims waste the
+    # TPU lanes; the residue-pair predicate becomes a per-atom residue-id
+    # comparison (id gaps > 1, each unordered pair once)
+    n_res = affine.shape[0]
+    ax = atoms.reshape(n_res * 4, 3)
+    rid = jnp.repeat(jnp.asarray(consts["id"]), 4)
+    valid = jnp.asarray(atom_mask).reshape(-1)
+    d = rid[:, None] - rid[None, :]
+    mask = (d < -1) & valid[:, None] & valid[None, :]
 
-    disp = atoms[:, None, :, None, :] - atoms[None, :, None, :, :]
-    r2 = jnp.sum(disp * disp, -1)          # (n_res, n_res, 4, 4)
+    dx = ax[:, 0][None, :] - ax[:, 0][:, None]
+    dy = ax[:, 1][None, :] - ax[:, 1][:, None]
+    dz = ax[:, 2][None, :] - ax[:, 2][:, None]
+    r2 = dx * dx + dy * dy + dz * dz
     v, _ = compact_sigmoid(r2 - WALL2, SHARPNESS)
-    am = atom_mask[:, None, :, None] & atom_mask[None, :, None, :]
-    mask = pair_ok[:, :, None, None] & am
     return ENERGY_SCALE * jnp.sum(jnp.where(mask, v, 0.0))
 
 
