@@ -63,6 +63,44 @@ def energy_gap_loss(fixed_system, free_system, pos):
     return loss
 
 
+def rotamer_state_restricted_system(system, states, node_name="rotamer"):
+    """Clone `system` with the rotamer node's valid-slot mask pinned to
+    one rotamer state per residue — the 'fixed' engine of the reference's
+    energy-gap training (rotamer_parameter_estimation.py:213-263): the
+    Bethe free energy of the restricted problem is the plain energy of
+    that rotamer assignment, so F_fixed - F_free is the pinning cost."""
+    from .nodes.base import NodeSpec
+    from .system import System
+
+    states = np.asarray(states)
+    out = []
+    for s in system.specs:
+        if s.name == node_name:
+            n_rot = np.asarray(s.consts["n_rot_per_res"])
+            if not (states < n_rot).all():
+                raise ValueError("state index exceeds residue rotamer count")
+            valid = np.zeros_like(np.asarray(s.consts["valid"]))
+            valid[np.arange(len(states)), states] = True
+            s = NodeSpec(name=s.name, node_type=s.node_type, args=s.args,
+                         consts={**s.consts, "valid": valid},
+                         params=s.params, n_elem=s.n_elem,
+                         elem_width=s.elem_width)
+        out.append(s)
+    return System(system.n_atom, out)
+
+
+def rotamer_node_marginals(system, pos, params, node_name="rotamer"):
+    """Converged BP node marginals (n_res, MAX_ROT) of the rotamer node at
+    one configuration — argmax over slots is the predicted rotamer state
+    (chi1 bins follow through the library's state table, chi1.py)."""
+    from .nodes.rotamer import rotamer_marginals
+
+    spec = system.by_name[node_name]
+    _, outs, _ = system.evaluate(pos, params)
+    inputs = [outs[a] for a in spec.args]
+    return rotamer_marginals(spec.consts, params[node_name], inputs)[0]
+
+
 def contrastive_divergence_loss(system, native_pos, ensemble_pos,
                                 temperature=1.0):
     """Weighted-ensemble contrastive divergence (the reference's
