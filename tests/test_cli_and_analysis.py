@@ -121,3 +121,63 @@ def test_swap_table2d():
             a, b = map(int, pair.split('-'))
             assert a not in seen and b not in seen
             seen.update((a, b))
+
+
+def test_sigint_graceful_shutdown(tmp_path):
+    """kill -INT mid-run leaves a valid .up with all logged frames
+    (reference main.cpp:26-89, 610-674)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    import h5py
+
+    from upside_md_tpu.config.builder import ConfigBuilder
+
+    b = ConfigBuilder(">x\nAAAAAAAA\n", seed=1)
+    b.add_backbone_springs()
+    path = str(tmp_path / "sig.up")
+    b.write(path)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONUNBUFFERED"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "upside_md_tpu.cli", path,
+         "--duration", "2000.0", "--frame-interval", "0.25",
+         "--temperature", "0.7", "--seed", "4"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+
+    lines = []
+    collector = threading.Thread(
+        target=lambda: [lines.append(l) for l in proc.stdout])
+    collector.daemon = True
+    collector.start()
+
+    # wait for a few per-frame progress lines (stdout is unbuffered), then
+    # interrupt mid-run; do NOT touch the h5 file while the writer owns it
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if sum("potential" in l for l in lines) >= 3:
+            break
+        time.sleep(0.5)
+    assert sum("potential" in l for l in lines) >= 3, lines[-5:]
+    proc.send_signal(signal.SIGINT)
+    proc.wait(timeout=120)
+    collector.join(timeout=10)
+    out = "".join(lines)
+
+    assert "finishing current chunk" in out
+    # SIGINT is re-raised after the flush, so the exit reflects the signal
+    assert proc.returncode != 0
+
+    with h5py.File(path, "r") as f:
+        n = f["output/pos"].shape[0]
+        assert n >= 3
+        assert f["output/time"].shape[0] == n
+        assert np.isfinite(f["output/pos"][()]).all()
