@@ -6,13 +6,17 @@ B-splines (reference src/bead_interaction.h:30-84).  The XLA formulation
 materializes (n1, n2, n_knot)-sized window-weight intermediates in HBM
 every evaluation; this kernel keeps them in VMEM:
 
-* per (128 x 128) pair tile, the per-pair parameter plane of each knot is
-  ONE MXU matmul of the group-1 type one-hots against a pre-transposed,
-  position-independent (n_type, M, n2) table (hoisted out of MD loops),
-* the dense knot-axis contraction runs as an in-register loop over M with
-  on-the-fly window weights — nothing of size (n1, n2, M) touches HBM.
-  The wide and narrow distance segments share one fused knot loop (same
-  coordinate, same taps, two accumulators),
+* the B-spline is evaluated as interval-selected cubic polynomials: the
+  knot axis of the parameter table is poly-expanded once at prep time by
+  a static linear map (_poly_matrix), the kernel Horner-evaluates on
+  per-pair coefficient planes selected with one compare per interval —
+  4x fewer selects than per-knot windows, and the backward pass reuses
+  the same coefficient planes for the derivative,
+* per (128 x 128) pair tile, all of a (segment, degree)'s interval planes
+  come from ONE wide MXU matmul of the group-1 type one-hots against
+  in-VMEM column-concatenated slabs of the pre-transposed,
+  position-independent table (hoisted out of MD loops); nothing of size
+  (n1, n2, M) touches HBM,
 * a replica ensemble runs as a replica-block grid dimension
   (jax.custom_batching.custom_vmap): position data is blocked (RB
   replicas per grid step) while the type one-hots, parameter table and
