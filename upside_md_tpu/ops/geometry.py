@@ -129,9 +129,12 @@ def max_eigvec_sym4(F, n_newton=25):
             + b1[..., None, None] * eye)
 
     # any nonzero column of adj(B) spans the eigenvector; pick the largest
+    # (one-hot contraction, not take_along_axis — batched gathers lower
+    # catastrophically on TPU)
     norms2 = jnp.sum(adj * adj, axis=-2)            # (..., 4) column norms
     best = jnp.argmax(norms2, axis=-1)
-    col = jnp.take_along_axis(adj, best[..., None, None], axis=-1)[..., 0]
+    onehot = (jnp.arange(4) == best[..., None]).astype(adj.dtype)
+    col = jnp.sum(adj * onehot[..., None, :], axis=-1)
     v = col / jnp.sqrt(jnp.maximum(jnp.sum(col * col, -1, keepdims=True), 1e-30))
     return lam, v
 

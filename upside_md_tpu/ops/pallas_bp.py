@@ -427,16 +427,24 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
             mnorm = mnorm + P(a, b) * bc1[a] * bc1[b].T
     rmnorm = 1.0 / jnp.maximum(mnorm, EPS)
 
+    # the edge entropy log factorizes over the message planes:
+    #   log(mm/pbb) = -log(EPS+eb_a) - log(EPS+eb_b)^T - log(mnorm)
+    # (exactly zero for identity edges) — 13 transcendental planes
+    # instead of 36
+    logmn = jnp.log(jnp.maximum(mnorm, EPS))
+    logeb = [jnp.log(EPS + eb[a]) for a in range(NROT)]
+
     tadj = triu * adjP
     edge_en = jnp.zeros((LANE, LANE), f32)
     X = jnp.zeros((NBP, NBP), f32)
     for b in range(NROT):
         Zb = jnp.zeros((NBP, LANE), f32)
+        logebT = logeb[b].T
         for a in range(NROT):
             pv = validB[a] * validB[b].T
             mm = P(a, b) * bc1[a] * bc1[b].T * rmnorm
             pbb = P(a, b) * bB1[a] * bB1[b].T
-            edge_en = edge_en + pv * mm * jnp.log((EPS + mm) / (EPS + pbb))
+            edge_en = edge_en - pv * mm * (logeb[a] + logebT + logmn)
             G = tadj * pv * mm * pbb / (EPS + pbb)
             Zb = Zb + jax.lax.dot(S6T[:, a * LANE:(a + 1) * LANE],
                                   G.astype(cdt),

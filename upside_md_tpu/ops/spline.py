@@ -71,16 +71,26 @@ def eval_bspline(coeffs, x):
     Returns (value, deriv), each shaped like x.
 
     Matches reference deBoor_value_and_deriv (src/spline.h:97-128).
+    Evaluated with dense window weights over the whole knot axis: even a
+    4-tap take_along_axis is a batched-operand gather, which lowers
+    catastrophically on TPU, while the dense multiply-reduce is trivially
+    cheap at these knot counts.
     """
     n_knot = coeffs.shape[-1]
     i, t = _window_indices(x, n_knot)
-    offs = jnp.arange(-1, 3, dtype=jnp.int32)
-    idx = i[..., None] + offs  # (..., 4)
-    cb = jnp.broadcast_to(coeffs, x.shape + (n_knot,))
-    c4 = jnp.take_along_axis(cb, idx, axis=-1)  # (..., 4)
     w = bspline_weights(t)
     dw = bspline_dweights(t)
-    return jnp.sum(w * c4, -1), jnp.sum(dw * c4, -1)
+    rel = jnp.arange(n_knot, dtype=jnp.int32) - i[..., None] + 1
+    W = (jnp.where(rel == 0, w[..., 0:1], 0.0)
+         + jnp.where(rel == 1, w[..., 1:2], 0.0)
+         + jnp.where(rel == 2, w[..., 2:3], 0.0)
+         + jnp.where(rel == 3, w[..., 3:4], 0.0))
+    dW = (jnp.where(rel == 0, dw[..., 0:1], 0.0)
+          + jnp.where(rel == 1, dw[..., 1:2], 0.0)
+          + jnp.where(rel == 2, dw[..., 2:3], 0.0)
+          + jnp.where(rel == 3, dw[..., 3:4], 0.0))
+    cb = jnp.broadcast_to(coeffs, x.shape + (n_knot,))
+    return jnp.sum(W * cb, -1), jnp.sum(dW * cb, -1)
 
 
 def eval_clamped_bspline(coeffs, x):
@@ -159,33 +169,34 @@ def eval_periodic_bspline_2d(coeffs, x, y):
     iy = jnp.floor(y).astype(jnp.int32)
     tx = x - ix
     ty = y - iy
-    offs = jnp.arange(-1, 3, dtype=jnp.int32)
-    ixw = (ix[..., None] + offs) % nx  # (..., 4)
 
-    # TPU-friendly evaluation: ONE row gather along x (contiguous ny-rows,
-    # a vector gather), then a dense periodic window contraction along y —
-    # scalar window gathers lower catastrophically on TPU.
+    # TPU-friendly evaluation: dense periodic window weights on BOTH axes
+    # and a full (nx, ny) contraction.  Even a 4-row take_along_axis is a
+    # batched-operand gather, which lowers catastrophically on this
+    # backend (measured: ms-scale for a few MB); the dense nx*ny
+    # multiply-reduce is tens of microseconds.
+    def window(i, t, n):
+        w4, dw4 = bspline_weights(t), bspline_dweights(t)
+        rel = (jnp.arange(n, dtype=jnp.int32) - i[..., None] + 1) % n
+        W = (jnp.where(rel == 0, w4[..., 0:1], 0.0)
+             + jnp.where(rel == 1, w4[..., 1:2], 0.0)
+             + jnp.where(rel == 2, w4[..., 2:3], 0.0)
+             + jnp.where(rel == 3, w4[..., 3:4], 0.0))
+        dW = (jnp.where(rel == 0, dw4[..., 0:1], 0.0)
+              + jnp.where(rel == 1, dw4[..., 1:2], 0.0)
+              + jnp.where(rel == 2, dw4[..., 2:3], 0.0)
+              + jnp.where(rel == 3, dw4[..., 3:4], 0.0))
+        return W, dW
+
+    Wx, dWx = window(ix, tx, nx)                     # (..., nx)
+    Wy, dWy = window(iy, ty, ny)                     # (..., ny)
+
     cb = jnp.broadcast_to(coeffs, x.shape + (nx, ny))
-    rows = jnp.take_along_axis(cb, ixw[..., :, None], axis=-2)  # (...,4,ny)
-
-    wx, dwx = bspline_weights(tx), bspline_dweights(tx)
-    wy4, dwy4 = bspline_weights(ty), bspline_dweights(ty)
-    m = jnp.arange(ny, dtype=jnp.int32)
-    rel = (m - iy[..., None] + 1) % ny               # (..., ny) in [0, ny)
-    Wy = (jnp.where(rel == 0, wy4[..., 0:1], 0.0)
-          + jnp.where(rel == 1, wy4[..., 1:2], 0.0)
-          + jnp.where(rel == 2, wy4[..., 2:3], 0.0)
-          + jnp.where(rel == 3, wy4[..., 3:4], 0.0))
-    dWy = (jnp.where(rel == 0, dwy4[..., 0:1], 0.0)
-           + jnp.where(rel == 1, dwy4[..., 1:2], 0.0)
-           + jnp.where(rel == 2, dwy4[..., 2:3], 0.0)
-           + jnp.where(rel == 3, dwy4[..., 3:4], 0.0))
-
-    cy = jnp.sum(rows * Wy[..., None, :], -1)        # (..., 4)
-    cdy = jnp.sum(rows * dWy[..., None, :], -1)
-    val = jnp.sum(cy * wx, -1)
-    ddx = jnp.sum(cy * dwx, -1)
-    ddy = jnp.sum(cdy * wx, -1)
+    cy = jnp.sum(cb * Wx[..., :, None], -2)          # (..., ny)
+    cdx = jnp.sum(cb * dWx[..., :, None], -2)
+    val = jnp.sum(cy * Wy, -1)
+    ddx = jnp.sum(cdx * Wy, -1)
+    ddy = jnp.sum(cy * dWy, -1)
     return val, ddx, ddy
 
 
