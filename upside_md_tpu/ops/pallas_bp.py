@@ -379,13 +379,15 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
     S6T = s6t_ref[:, :]                     # (NBP, 6*LANE)
     h = jax.lax.dot(S6, Es, preferred_element_type=f32).astype(cdt)
 
+    # one wide MXU dot per rot slot (u_a = h_a @ S6T covers all b blocks):
+    # small-matmul issue overhead, not MACs, dominates these contractions
     planes = []
     for a in range(NROT):
-        row = []
         ha = h[a * LANE:(a + 1) * LANE, :]
+        ua = jax.lax.dot(ha, S6T, preferred_element_type=f32)
+        row = []
         for b in range(NROT):
-            u = jax.lax.dot(ha, S6T[:, b * LANE:(b + 1) * LANE],
-                            preferred_element_type=f32)
+            u = ua[:, b * LANE:(b + 1) * LANE]
             vm = validB[a] * validB[b].T
             row.append(jnp.exp(-u) * vm)
         planes.append(row)
@@ -436,21 +438,22 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
 
     tadj = triu * adjP
     edge_en = jnp.zeros((LANE, LANE), f32)
-    X = jnp.zeros((NBP, NBP), f32)
+    Zcols = []
     for b in range(NROT):
-        Zb = jnp.zeros((NBP, LANE), f32)
         logebT = logeb[b].T
+        Gs = []
         for a in range(NROT):
             pv = validB[a] * validB[b].T
             mm = P(a, b) * bc1[a] * bc1[b].T * rmnorm
             pbb = P(a, b) * bB1[a] * bB1[b].T
             edge_en = edge_en - pv * mm * (logeb[a] + logebT + logmn)
-            G = tadj * pv * mm * pbb / (EPS + pbb)
-            Zb = Zb + jax.lax.dot(S6T[:, a * LANE:(a + 1) * LANE],
-                                  G.astype(cdt),
-                                  preferred_element_type=f32)
-        X = X + jax.lax.dot(Zb.astype(cdt), S6[b * LANE:(b + 1) * LANE, :],
-                            preferred_element_type=f32)
+            Gs.append((tadj * pv * mm * pbb / (EPS + pbb)).astype(cdt))
+        # sum_a S6T_a @ G_ab as one (NBP, 6*LANE) x (6*LANE, LANE) dot
+        Zcols.append(jax.lax.dot(S6T, jnp.concatenate(Gs, axis=0),
+                                 preferred_element_type=f32))
+    # X = sum_b Z_b @ S6_b as one (NBP, 6*LANE) x (6*LANE, NBP) dot
+    X = jax.lax.dot(jnp.concatenate(Zcols, axis=1).astype(cdt), S6,
+                    preferred_element_type=f32)
 
     de_ref[0] = X + X.T
     f_ref[0] = (jnp.sum(node_en) + jnp.sum(tadj * edge_en)).reshape(1, 1)
