@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from ..ops.pairs import (gather_pair_params, safe_inv_dist,
                          sequence_exclusion_mask, upper_triangle_mask)
 from ..ops.sigmoid import compact_sigmoid
-from ..ops.spline import eval_clamped_bspline
 from .base import register_node
 
 N_KNOT_RADIAL = 16  # sidechain_radial.cpp:30

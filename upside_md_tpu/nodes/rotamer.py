@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pairs import (gather_pair_params, quadspline_coverage,
-                         quadspline_coverage_nl, quadspline_family,
+from ..ops.pairs import (quadspline_coverage_nl, quadspline_family,
                          scatter_rows)
 from .base import register_node
 

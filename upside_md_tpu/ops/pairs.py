@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .spline import bspline_window_weights, eval_bspline, eval_clamped_bspline
+from .spline import bspline_window_weights
 
 
 def sequence_exclusion_mask(id1, id2, min_sep):

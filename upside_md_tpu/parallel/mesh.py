@@ -14,7 +14,6 @@ TPU pod both become a single `replica` mesh axis:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
