@@ -67,9 +67,13 @@ def hbond_pair_strength(p, H, rHN, O, rOC):
     dotHOC = jnp.sum(rHO * rOC[None, :, :], -1)
     dotOHN = -jnp.sum(rHO * rHN[:, None, :], -1)
 
-    def rsig(x):  # reference 'sigmoid': 1/(1+exp(x)), decreasing;
-        # jax.nn.sigmoid is overflow-safe in float32 for distant pairs
-        return jax.nn.sigmoid(-x)
+    def rsig(x):
+        # reference 'sigmoid' (vector_math.h:626-631): z = exp(-x),
+        # value = 1/(1+z) — the INCREASING logistic 1/(1+exp(-x)).  (The
+        # C++ docstring above it claims 1/(1+exp(x)); the code disagrees,
+        # and the code is what shipped.  Pinned by the hand-derived
+        # fixtures in tests/test_reference_goldens.py.)
+        return jax.nn.sigmoid(x)
 
     radial = rsig((p[..., 2] - magHO) * p[..., 3]) * \
         rsig((magHO - p[..., 0]) * p[..., 1])

@@ -11,8 +11,10 @@ import jax.numpy as jnp
 
 
 def sigmoid_val_deriv(x):
-    """1/(1+exp(x)) and its derivative exp(x)/(1+exp(x))^2 — NOTE the
-    reference's reversed orientation (decreasing in x)."""
+    """Increasing logistic 1/(1+exp(-x)) and its derivative, exactly as the
+    reference computes it (vector_math.h:626-631: z = exp(-x), value =
+    1/(1+z), deriv = z/(1+z)^2).  NOTE the C++ docstring above that code
+    claims 1/(1+exp(x)); the code is the contract."""
     z = jnp.exp(-x)
     w = 1.0 / (1.0 + z)
     return w, z * w * w
