@@ -176,21 +176,13 @@ def main(argv=None):
     loggers = [H5Logger(c, args.log_level,
                         invocation=" ".join(sys.argv))
                for c in args.configs]
-    # per-node streams gated by --log-level (reference state_logger.h
-    # add_logger registrations; see io/streams.py for the inventory)
-    from .io.streams import make_stream_fn, n_hbond
-    stream_fn = make_stream_fn(system, args.log_level, batched=True)
-    has_hbond = any(s.node_type.name == "protein_hbond"
-                    for s in system.specs)
-
-    @jax.jit
-    def hbond_counts(pos_batch):
-        def one(p):
-            _, outputs, _ = system.evaluate(
-                p, loaded[0][1] if hamiltonian else params0)
-            c = n_hbond(system, outputs)
-            return c if c is not None else jnp.asarray(0.0)
-        return jax.vmap(one)(pos_batch)
+    # ONE jitted frame evaluation: potential + per-node streams (gated by
+    # --log-level; reference state_logger.h add_logger registrations, see
+    # io/streams.py) + hbond console count from a single graph pass, with
+    # per-slot parameters in Hamiltonian mode
+    from .io.streams import make_frame_fn
+    frame_fn, has_hbond = make_frame_fn(system, args.log_level,
+                                        params_batched=hamiltonian)
 
     # signal-safe shutdown (reference main.cpp:26-89, 610-674): finish the
     # current chunk, flush every logger, restore handlers, re-raise
@@ -234,17 +226,13 @@ def main(argv=None):
             if sim.do_recenter:
                 state = sim.recentered(state)
             kin = np.asarray(sim.kinetic_energy(state))
-            pot = np.asarray(sim.potential_energy(state, params0, True,
-                                                  hamiltonian))
             pos_np = np.asarray(state.pos)
-            streams = None
-            if stream_fn is not None:
-                extra = {"n_deriv_evals": 3 * done}
-                streams = {k: np.asarray(v) for k, v in stream_fn(
-                    state.pos, params0 if not hamiltonian else loaded[0][1],
-                    extra).items()}
-            hb = (np.asarray(hbond_counts(state.pos)) if has_hbond
-                  else None)
+            pot_dev, stream_dev, hb_dev = frame_fn(
+                state.pos, params0, {"n_deriv_evals": 3 * done})
+            pot = np.asarray(pot_dev)
+            streams = ({k: np.asarray(v) for k, v in stream_dev.items()}
+                       or None)
+            hb = np.asarray(hb_dev) if has_hbond else None
             # per-frame MC stats with reset semantics
             # (monte_carlo_sampler.h:28-37)
             mc_streams = {}

@@ -223,6 +223,34 @@ def make_stream_fn(system, level, batched=False):
     return jax.jit(compute)
 
 
+def make_frame_fn(system, level, params_batched=False):
+    """One jitted per-frame evaluation over the replica ensemble: the graph
+    runs ONCE per replica and yields (potential (R,), streams dict, hbond
+    counts (R,)) — the reference evaluates the graph a single time per
+    frame too (main.cpp:630-655).  With params_batched=True every replica
+    slot is evaluated under its own parameter pytree (Hamiltonian replica
+    exchange; the reference's per-system engines, main.cpp:456-495), so
+    per-node streams for slot k are computed under slot k's Hamiltonian.
+
+    Returns (frame_fn, has_hbond)."""
+    plan = stream_plan(system, level)
+    has_hb = any(s.node_type.name == "protein_hbond" for s in system.specs)
+
+    def one(pos, params, extra):
+        energy, outputs, _ = system.evaluate(pos, params, extra=extra)
+        streams = {name: fn(outputs, params, extra) for name, fn in plan}
+        hb = n_hbond(system, outputs) if has_hb else jnp.asarray(0.0)
+        return energy, streams, hb
+
+    in_axes = (0, 0 if params_batched else None, None)
+
+    def frame_fn(pos_batch, params, extra=None):
+        return jax.vmap(one, in_axes=in_axes)(pos_batch, params,
+                                              extra or {})
+
+    return jax.jit(frame_fn), has_hb
+
+
 def n_hbond(system, outputs):
     """Total hydrogen-bond count (sum of per-virtual probabilities), the
     reference console diagnostic (deriv_engine.cpp:284-288, printed by
