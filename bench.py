@@ -63,6 +63,35 @@ def main():
     state = sim.initial_state(pos, params, seed=seed, temperature=0.85,
                               n_replica=n_replica)
 
+    # correctness gate BEFORE timing: the Pallas kernels and the pure-XLA
+    # formulation (UPSIDE_NO_PALLAS=1) must agree on energy and forces ON
+    # DEVICE (Mosaic-compiled, not interpret mode) — closes the gap where a
+    # Mosaic lowering bug could ship with correct-looking throughput.  The
+    # backend is chosen at trace time, so each path gets a fresh jit.
+    pallas_xla_rel_err = None
+    if jax.default_backend() == "tpu" and not os.environ.get(
+            "UPSIDE_NO_PALLAS"):
+        def eg(p):
+            e, g = jax.value_and_grad(system.energy)(p, params)
+            return e, g
+
+        pos_check = state.pos[: min(2, n_replica)]
+        e_pl, g_pl = jax.jit(jax.vmap(eg))(pos_check)
+        e_pl, g_pl = np.asarray(e_pl), np.asarray(g_pl)
+        os.environ["UPSIDE_NO_PALLAS"] = "1"
+        try:
+            e_x, g_x = jax.jit(jax.vmap(eg))(pos_check)
+            e_x, g_x = np.asarray(e_x), np.asarray(g_x)
+        finally:
+            del os.environ["UPSIDE_NO_PALLAS"]
+        err_e = np.max(np.abs(e_pl - e_x) / np.maximum(np.abs(e_x), 1.0))
+        den = np.sqrt(np.mean(g_x ** 2))
+        err_g = np.sqrt(np.mean((g_pl - g_x) ** 2)) / max(den, 1e-12)
+        pallas_xla_rel_err = float(max(err_e, err_g))
+        assert pallas_xla_rel_err < 1e-3, (
+            f"Pallas vs XLA disagreement on device: {pallas_xla_rel_err}"
+            f" (energy {err_e}, force RMS {err_g})")
+
     # compile + warm up (same static round count as the measured calls so
     # exactly one executable is built).  NOTE: on remote-execution backends
     # block_until_ready may not synchronize — a host-side value fetch is
@@ -83,14 +112,17 @@ def main():
 
     assert bool(np.all(np.isfinite(np.asarray(state.pos)))), "non-finite positions"
 
-    print(json.dumps({
+    record = {
         "metric": f"aggregate MD steps/sec, {label}, {n_replica} replicas",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "vs_baseline": round(
             steps_per_sec / (TARGET_MULTIPLE *
                              CPP_SINGLE_CORE_STEPS_PER_SEC_EST), 4),
-    }))
+    }
+    if pallas_xla_rel_err is not None:
+        record["pallas_xla_rel_err"] = round(pallas_xla_rel_err, 9)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
