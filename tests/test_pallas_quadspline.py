@@ -42,7 +42,9 @@ def test_forward_matches_xla(rng):
     ref = xla_reference(table, t1, t2, x1, x2, mask, ka, k, inv_dx)
     out = quadspline_pallas((ka, k, inv_dx), True, table, t1, t2, x1, x2,
                             mask)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # the kernel's hi/lo bf16 parameter split carries ~2^-16 relative
+    # coefficient noise (see _make_get_C); values are O(1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
 def test_gradients_match_xla(rng):

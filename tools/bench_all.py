@@ -1,0 +1,164 @@
+"""All BASELINE.json benchmark configs + the per-chip replica scaling
+curve, in one run on the real TPU.
+
+Outputs a table for BENCH_NOTES.md:
+  1. Trp-cage backbone-only (config 1) and full FF
+  2. ubiquitin full FF (config 2, the headline) at 8/32/64/128/256
+     replicas — the single-chip scaling curve for the multi-chip
+     projection (replicas are embarrassingly parallel between swaps)
+  3. protein-G with the 10A-cutoff parameter family (config 3)
+  4. 64-replica temperature replica exchange, swaps INCLUDED (config 4)
+  5. chi1-prediction latency: one energy eval + marginal readout
+     (config 5; reference predict_chi1.py:103-113 semantics)
+
+Same hard-sync methodology as bench.py (host value fetch per timed call).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+cache = os.environ.get("JAX_COMPILATION_CACHE",
+                       os.path.expanduser("~/.upside_tpu_jax_cache"))
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from upside_md_tpu.bench_systems import (PROTEIN_G, TRP_CAGE, UBIQUITIN,
+                                         build_10A_system,
+                                         build_backbone_system,
+                                         build_full_system)
+from upside_md_tpu.md.replica import ReplicaExchange, even_odd_swap_sets
+from upside_md_tpu.md.sim import Simulation
+from upside_md_tpu.md.thermostat import REPLICA_EXCHANGE_STREAM, stream_key
+
+
+def timed(fn, sync, n=3):
+    fn(); sync()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(); sync()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def md_steps_per_sec(system, params, pos, n_replica, n_rounds=20,
+                     seed=None):
+    seed = seed if seed is not None else int(time.time()) % 100000
+    sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
+                     do_recenter=False)
+    state = [sim.initial_state(pos, params, seed=seed, temperature=0.85,
+                               n_replica=n_replica)]
+
+    def step():
+        state[0] = sim.advance(state[0], params, n_rounds, True)
+
+    t = timed(step, lambda: float(jnp.sum(state[0].pos)))
+    return 3 * n_rounds * n_replica / t
+
+
+def rex_steps_per_sec(system, params, pos, n_replica=64, n_rounds_total=60,
+                      rex_every=10):
+    """End-to-end temperature replica exchange: MD rounds + swap rounds
+    (energies recomputed per swap set) included in the timing."""
+    sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
+                     do_recenter=False)
+    temps = 0.80 * (1.02 ** np.arange(n_replica))
+    state = [sim.initial_state(pos, params,
+                               seed=int(time.time()) % 100000,
+                               temperature=temps, n_replica=n_replica)]
+    rex = ReplicaExchange(even_odd_swap_sets(n_replica), n_replica)
+    energy_of = jax.jit(jax.vmap(lambda p: system.energy(p, params)))
+    beta = jnp.asarray(1.0 / temps, jnp.float32)
+    ridx = [jnp.arange(n_replica)]
+    stats = [None]
+    round_done = [0]
+
+    def chunk():
+        for _ in range(n_rounds_total // rex_every):
+            state[0] = sim.advance(state[0], params, rex_every, True)
+            key = stream_key(1234, REPLICA_EXCHANGE_STREAM, round_done[0])
+            new_pos, ridx[0], stats[0] = rex.attempt_swaps(
+                key, state[0].pos, ridx[0], beta, energy_of, stats[0])
+            state[0] = state[0]._replace(pos=new_pos)
+            round_done[0] += rex_every
+
+    t = timed(chunk, lambda: float(jnp.sum(state[0].pos)))
+    acc = [np.asarray(s) for s in stats[0]]
+    rate = (sum(a[:, 0].sum() for a in acc)
+            / max(sum(a[:, 1].sum() for a in acc), 1))
+    return 3 * n_rounds_total * n_replica / t, float(rate)
+
+
+def chi1_latency():
+    """Config 5: single energy eval + hbond_coverage sensitivity readout
+    (the paper's evaluation-time metric)."""
+    from upside_md_tpu.bench_systems import SIDECHAIN
+    from upside_md_tpu.config.builder import ConfigBuilder
+    from upside_md_tpu.config.reader import load_system
+    import tempfile
+
+    seq = UBIQUITIN
+    b = ConfigBuilder(f">x\n{seq}\n", seed=7)
+    b.add_rotamer_sidechains(SIDECHAIN, SIDECHAIN, damping=0.4,
+                             dynamic_1body=True)
+    b.add_hbond(hbond_energy=-1e-5, loose=True, coverage_library=SIDECHAIN)
+    b.add_rotamer_node()
+    with tempfile.NamedTemporaryFile(suffix='.up') as f:
+        b.write(f.name)
+        system, params, pos, aux = load_system(f.name)
+    pos = jnp.asarray(pos)
+
+    sens_fn = jax.jit(lambda p: system.get_sens(p, params, 'hbond_coverage'))
+    out = [None]
+
+    def run():
+        out[0] = sens_fn(pos)
+
+    t = timed(run, lambda: float(jnp.sum(out[0])), n=5)
+    return t
+
+
+def main():
+    rows = []
+    sysb, pb, posb, _ = build_backbone_system(seq=UBIQUITIN)
+    rows.append(("backbone-only 76-res ubiquitin, 64 rep",
+                 md_steps_per_sec(sysb, pb, posb, 64)))
+    sysb, pb, posb, _ = build_backbone_system(seq=TRP_CAGE)
+    rows.append(("backbone-only 20-res Trp-cage, 64 rep",
+                 md_steps_per_sec(sysb, pb, posb, 64)))
+
+    sysf, pf, posf, _ = build_full_system(seq=TRP_CAGE)
+    rows.append(("full FF 20-res Trp-cage, 64 rep",
+                 md_steps_per_sec(sysf, pf, posf, 64)))
+
+    sysg, pg, posg, _ = build_10A_system(seq=PROTEIN_G)
+    rows.append(("full FF 56-res protein-G (10A family), 64 rep",
+                 md_steps_per_sec(sysg, pg, posg, 64)))
+
+    sysu, pu, posu, _ = build_full_system(seq=UBIQUITIN)
+    for n in (8, 32, 64, 128, 256):
+        rows.append((f"full FF 76-res ubiquitin, {n} rep",
+                     md_steps_per_sec(sysu, pu, posu, n)))
+
+    sps, acc = rex_steps_per_sec(sysu, pu, posu, 64)
+    rows.append((f"full FF ubiquitin 64-replica T-rex incl. swaps "
+                 f"(acc {acc:.2f})", sps))
+
+    for name, v in rows:
+        print(f"{name:55s} {v:12,.0f} steps/s")
+
+    t = chi1_latency()
+    print(f"{'chi1 prediction latency (76-res, eval+marginals)':55s} "
+          f"{t*1e3:10.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

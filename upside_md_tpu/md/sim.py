@@ -124,8 +124,16 @@ class Simulation:
             jnp.sqrt(t0 * self.anneal_factor) * frac
         return s * s
 
-    def _one_round(self, state: SimState, params) -> SimState:
-        nr = state.round_num
+    def _one_round(self, state: SimState, params, nr) -> SimState:
+        # `nr` (the round number) arrives as an UNBATCHED scalar from
+        # `advance`, NOT from the vmapped state: the round counter is
+        # global across replicas, and keeping the lax.cond predicates
+        # below unbatched keeps them true conditionals.  A batched
+        # predicate would (a) evaluate both branches and select, and
+        # (b) instantiate every branch constant as batched, which the
+        # pair kernels' custom_vmap rules reject (jax custom_batching
+        # asserts no batched consts) — i.e. MC moves + replica vmap +
+        # Pallas kernels only compose with a scalar round number.
 
         def energy(p):
             return self.system.energy(p, params)
@@ -187,12 +195,17 @@ class Simulation:
         gives every replica slot its own parameter pytree (Hamiltonian
         replica exchange — the reference's per-system engines,
         main.cpp:456-495)."""
-        def body(_, st):
+        base = (state.round_num[0] if batched else state.round_num)
+
+        def body(i, st):
+            nr = base + i    # unbatched scalar round number (see _one_round)
             if batched and params_batched:
-                return jax.vmap(self._one_round)(st, params)
+                return jax.vmap(
+                    lambda s, p: self._one_round(s, p, nr))(st, params)
             if batched:
-                return jax.vmap(lambda s: self._one_round(s, params))(st)
-            return self._one_round(st, params)
+                return jax.vmap(
+                    lambda s: self._one_round(s, params, nr))(st)
+            return self._one_round(st, params, nr)
         return jax.lax.fori_loop(0, n_rounds, body, state)
 
     # -- observables --------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Cross-node kernel fusion plans.
+
+The force-field graph evaluates three pairwise kernels that stream the
+same sidechain-bead operand: `hbond_coverage`, `hbond_coverage_hydrophobe`
+(reference hbond.cpp:241-286) and the rotamer bead-pair grid
+(bead_interaction.h:30-84, consumed by the BP solver).  On TPU these fuse
+into ONE Pallas call per direction (ops/pallas_quadspline.fused_pair_block)
+— fewer kernel launches, one shared stream of the bead operand, and a
+tighter row packing than three separately padded launches.
+
+The fusion crosses node boundaries, so it is planned once per System and
+dispatched from System.evaluate: when the evaluation loop reaches the
+first member whose inputs are all available, the fused kernel runs and its
+per-member results are stashed in extra["_fused"], which the member node
+functions consume instead of launching their own kernels.  Disable with
+UPSIDE_NO_FUSED=1 (or UPSIDE_NO_PALLAS=1, which disables all kernels).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pairs import quadspline_family, sequence_exclusion_mask
+
+
+class PairFusionPlan:
+    """Static plan: the two coverage specs + the rotamer pair grid."""
+
+    def __init__(self, cov1, cov2, rot, trigger_name):
+        self.cov1 = cov1
+        self.cov2 = cov2
+        self.rot = rot
+        self.trigger_name = trigger_name
+        self.member_names = {cov1.name, cov2.name, rot.name}
+
+    def enabled(self):
+        if os.environ.get('UPSIDE_NO_PALLAS') or \
+                os.environ.get('UPSIDE_NO_FUSED'):
+            return False
+        if os.environ.get('UPSIDE_FORCE_FUSED'):
+            return True     # interpret-mode testing off-TPU
+        return jax.default_backend() == 'tpu'
+
+    def compute(self, params, outputs) -> Dict[str, jnp.ndarray]:
+        """Run the fused kernel; returns {member results}."""
+        from ..ops.pallas_quadspline import fused_pair_block
+
+        cov1, cov2, rot = self.cov1, self.cov2, self.rot
+        tab1 = jnp.asarray(params[cov1.name]["interaction_param"])
+        tab2 = jnp.asarray(params[cov2.name]["interaction_param"])
+        tab3 = jnp.asarray(params[rot.name]["interaction_param"])
+        fam_cov = quadspline_family(tab1.shape[-1])
+        fam_pair = quadspline_family(tab3.shape[-1])
+        fams = ((fam_cov[0], fam_cov[1], 1.0 / fam_cov[2]),
+                (fam_pair[0], fam_pair[1], 1.0 / fam_pair[2]))
+
+        def cov_inputs(spec):
+            hb = outputs[spec.args[0]][spec.consts["index1"]]
+            w = (1.0 - hb[:, 6]) ** 2
+            mask = sequence_exclusion_mask(spec.consts["id1"],
+                                           spec.consts["id2"], 2)
+            return hb[:, :6], w, mask
+
+        x1a, w1a, ma = cov_inputs(cov1)
+        x1b, w1b, mb = cov_inputs(cov2)
+        beads = outputs[rot.args[0]][rot.consts["index"]][:, :6]
+        res = rot.consts["res"]
+        n_bead = beads.shape[0]
+        tri = np.arange(n_bead)[:, None] < np.arange(n_bead)[None, :]
+        mc = jnp.asarray(tri & (np.asarray(res)[:, None]
+                                != np.asarray(res)[None, :]))
+
+        interpret = jax.default_backend() != 'tpu'
+        c1, c2, grid = fused_pair_block(
+            fams, interpret, tab1, tab2, tab3,
+            jnp.asarray(cov1.consts["type1"]),
+            jnp.asarray(cov2.consts["type1"]),
+            jnp.asarray(rot.consts["type"]),
+            jnp.asarray(cov1.consts["type2"]),
+            jnp.asarray(cov2.consts["type2"]),
+            jnp.asarray(rot.consts["type"]),
+            ma, mb, mc, x1a, w1a, x1b, w1b, beads)
+        return {cov1.name: c1[:, None], cov2.name: c2[:, None],
+                rot.name + ":E_pair": grid}
+
+
+def plan_pair_fusion(specs) -> Optional[PairFusionPlan]:
+    """Detect the (coverage, hydrophobe coverage, rotamer pair) fusion
+    group.  Returns None unless the graph matches the shape the fused
+    kernel supports; mismatches simply keep the unfused kernels."""
+    from .rotamer import PAIRS_KERNEL_MAX_BEADS
+
+    covs = [s for s in specs if s.node_type.name == "hbond_coverage"]
+    rots = [s for s in specs if s.node_type.name == "rotamer"]
+    if len(covs) != 2 or len(rots) != 1:
+        return None
+    rot = rots[0]
+    n_res = int(rot.consts["n_res"])
+    n_bead = len(rot.consts["res"])
+    if n_res > 128 or n_bead > PAIRS_KERNEL_MAX_BEADS:
+        return None
+    # both coverage groups must read the same bead rows the rotamer uses
+    for c in covs:
+        if c.args[1] != rot.args[0]:
+            return None
+        if not np.array_equal(np.asarray(c.consts["index2"]),
+                              np.asarray(rot.consts["index"])):
+            return None
+        if c.consts.get("id1") is None or c.consts.get("id2") is None:
+            return None
+    try:
+        f1 = quadspline_family(
+            np.asarray(covs[0].params["interaction_param"]).shape[-1])
+        f2 = quadspline_family(
+            np.asarray(covs[1].params["interaction_param"]).shape[-1])
+        f3 = quadspline_family(
+            np.asarray(rot.params["interaction_param"]).shape[-1])
+    except (ValueError, KeyError):
+        return None
+    if f1 != f2 or f1[0] != f3[0] or abs(f1[2] - f3[2]) > 1e-12:
+        return None
+
+    # System will move the FIRST coverage member directly before the
+    # second, so the fused kernel (which needs both members' inputs) can
+    # run at the first member's turn.  Validate that move: every fused
+    # input must precede the second coverage spec, and nothing between the
+    # two coverage specs may consume the first one's output.
+    names = [s.name for s in specs]
+    needed = {covs[0].args[0], covs[1].args[0], rot.args[0]}
+    cov_pos = sorted(names.index(c.name) for c in covs)
+    for dep in needed:
+        if dep != "pos" and names.index(dep) > cov_pos[1]:
+            return None
+    first = names[cov_pos[0]]
+    for s in specs[cov_pos[0] + 1:cov_pos[1]]:
+        if first in s.args:
+            return None
+    cov1 = covs[0] if covs[0].name == first else covs[1]
+    cov2 = covs[1] if cov1 is covs[0] else covs[0]
+    return PairFusionPlan(cov1, cov2, rot, cov1.name)

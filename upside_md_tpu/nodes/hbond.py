@@ -122,6 +122,12 @@ hbond_energy = register_node(
 
 
 def _hbond_coverage(consts, params, inputs, extra):
+    # fused cross-node kernel result (see nodes/fusion.py)
+    name = (extra or {}).get("_node_name")
+    fused = (extra or {}).get("_fused", {})
+    if name is not None and name in fused:
+        return fused[name]
+
     hb_nodes = inputs[0][consts["index1"]]   # (n1, 7): pos, dir, hb
     sc = inputs[1][consts["index2"]]          # (n2, >=6): pos, dir
     table = params["interaction_param"]

@@ -93,9 +93,12 @@ def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2,
         return jnp.where(adj[..., None], m, 1.0)
 
     def node_update(eb):
-        # product over edges in log space (masked): robust for high degree
-        logm = jnp.log(jnp.maximum(eb, 1e-30)) * adf
-        nb = prob * jnp.exp(jnp.sum(logm, axis=1))
+        # product over edges in log space (masked), max-centered before
+        # exp so high-degree nodes cannot underflow f32 (the constant
+        # cancels in the max-normalization)
+        s = jnp.sum(jnp.log(jnp.maximum(eb, 1e-30)) * adf, axis=1)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        nb = prob * jnp.exp(s)
         return nb / jnp.maximum(jnp.max(nb, axis=-1, keepdims=True), EPS)
 
     if init is None:
@@ -240,18 +243,17 @@ def assemble_rotamer_energies(consts, params, inputs):
     onehot_res = jnp.asarray(consts["onehot_res"], x.dtype)  # (n_bead, n_res)
     E_pair, pair_mask = assemble_pair_grid(consts, params, x)
 
-    # scatter to (R*6, R*6) with two one-hot matmuls (MXU-friendly).  On
-    # TPU the matmuls run in bf16 with f32 accumulation: the one-hots are
-    # exact in bf16 and the 0.4% rounding of pair energies is far below
-    # the BP solver tolerance that already bounds the free energy.
-    if jax.default_backend() == 'tpu':
-        ohb = onehot.astype(jnp.bfloat16)
-        half = jax.lax.dot(ohb.T, E_pair.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-        E2u = jax.lax.dot(half.astype(jnp.bfloat16), ohb,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
-    else:
-        E2u = onehot.T @ E_pair @ onehot
+    # scatter to (R*6, R*6) with two one-hot matmuls (MXU-friendly) at
+    # HIGHEST precision: bf16 rounding of the pair energies (0.4%) is
+    # amplified through exp(-E2) on clash-scale energies and measurably
+    # moves the BP fixed point on frustrated problems — the bench.py
+    # device gate requires the scatter to be exact (f32) so the Pallas
+    # and XLA paths agree.
+    HI = jax.lax.Precision.HIGHEST
+    half = jax.lax.dot(onehot.T, E_pair.astype(onehot.dtype), precision=HI,
+                       preferred_element_type=jnp.float32)
+    E2u = jax.lax.dot(half.astype(onehot.dtype), onehot, precision=HI,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
     E2u = E2u.reshape(n_res, MAX_ROT, n_res, MAX_ROT)
     E2u = jnp.transpose(E2u, (0, 2, 1, 3))    # (R, R, 6, 6)
     E2 = E2u + jnp.transpose(E2u, (1, 0, 3, 2))
@@ -290,10 +292,15 @@ def _rotamer(consts, params, inputs, extra):
         from ..ops.pallas_bp import LANE, _scatter_onehots, bp_bethe_pairs
         x, E1, offset, prob, valid = assemble_one_body(consts, params,
                                                        inputs)
-        E_pair, _ = assemble_pair_grid(consts, params, x)
+        pre_grid = (extra or {}).get("_fused", {}).get(
+            (name or "") + ":E_pair")
+        if pre_grid is not None:
+            E_pair = pre_grid   # fused cross-node kernel (nodes/fusion.py)
+        else:
+            E_pair, _ = assemble_pair_grid(consts, params, x)
         nbp = -(-n_bead // LANE) * LANE
         S6 = _scatter_onehots(consts["res"], consts["rot"], nbp)
-        F, nb, eb = bp_bethe_pairs(static, False, True,
+        F, nb, eb = bp_bethe_pairs(static, False, False,
                                    E1.astype(jnp.float32),
                                    E_pair.astype(jnp.float32),
                                    jnp.asarray(S6), jnp.asarray(S6.T),

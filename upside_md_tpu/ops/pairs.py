@@ -53,8 +53,11 @@ def gather_pair_params(table, type1, type2):
     never on positions)."""
     oh1 = jax.nn.one_hot(type1, table.shape[0], dtype=table.dtype)
     oh2 = jax.nn.one_hot(type2, table.shape[1], dtype=table.dtype)
-    jam = jnp.einsum('jb,abm->jam', oh2, table)
-    return jnp.einsum('ia,jam->ijm', oh1, jam)
+    # HIGHEST: the TPU default single-pass matmul would round the f32
+    # table to bf16 (~3e-3 relative on every parameter)
+    HI = jax.lax.Precision.HIGHEST
+    jam = jnp.einsum('jb,abm->jam', oh2, table, precision=HI)
+    return jnp.einsum('ia,jam->ijm', oh1, jam, precision=HI)
 
 
 def neighbor_list(pos1, pos2, cutoff2, base_mask, K):
@@ -92,8 +95,9 @@ def quadspline_coverage_nl(p_table, t1, t2, pos1, dir1, pos2, dir2,
     d2 = jnp.asarray(dir2)[idx]
     oh1 = jax.nn.one_hot(t1, p_table.shape[0], dtype=p_table.dtype)
     oh2 = jax.nn.one_hot(t2[idx], p_table.shape[1], dtype=p_table.dtype)
-    iam = jnp.einsum('ia,abm->ibm', oh1, p_table)     # (n1, n_t2, m)
-    p = jnp.einsum('ikb,ibm->ikm', oh2, iam)          # (n1, K, m)
+    HI = jax.lax.Precision.HIGHEST
+    iam = jnp.einsum('ia,abm->ibm', oh1, p_table, precision=HI)
+    p = jnp.einsum('ikb,ibm->ikm', oh2, iam, precision=HI)  # (n1, K, m)
 
     disp = p2 - pos1[:, None, :]
     dist2 = jnp.sum(disp * disp, -1)

@@ -86,11 +86,21 @@ def _make_updates(P, adjP, validB, probC):
         return [jnp.where(adjP > 0, m[a] * rnorm, 1.0) for a in range(NROT)]
 
     def node_update(eb):
-        nbC = []
+        # Max-center the log-message sums before exponentiating.  With the
+        # all-pairs adjacency every identity edge contributes
+        # log(1/n_valid) ~ -1.1, so a 76-residue node's raw sum sits near
+        # -80; exp(-80) is f32-subnormal (flushed to zero on TPU), which
+        # silently zeroed small belief slots and moved the BP fixed point
+        # (caught by the bench.py device gate).  Centering is exact: the
+        # subtracted constant cancels in the max-normalization below.
+        sC = []
         for a in range(NROT):
-            s = jnp.sum(jnp.log(jnp.maximum(eb[a], 1e-30)) * adjP,
-                        axis=1, keepdims=True)
-            nbC.append(probC[a] * jnp.exp(s))
+            sC.append(jnp.sum(jnp.log(jnp.maximum(eb[a], 1e-30)) * adjP,
+                              axis=1, keepdims=True))
+        smax = sC[0]
+        for a in range(1, NROT):
+            smax = jnp.maximum(smax, sC[a])
+        nbC = [probC[a] * jnp.exp(sC[a] - smax) for a in range(NROT)]
         mx = nbC[0]
         for a in range(1, NROT):
             mx = jnp.maximum(mx, nbC[a])
@@ -361,7 +371,27 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
          f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
 
     f32 = jnp.float32
-    cdt = jnp.bfloat16 if bf16 else f32
+    bf = jnp.bfloat16
+
+    # every dot here has the EXACT-in-bf16 scatter one-hot on one side, so
+    # splitting the dynamic f32 operand into bf16 hi + lo halves and
+    # summing two single-pass products reconstructs the f32 result to
+    # ~2^-24 (the bench.py device gate requires the scatter exact) at a
+    # third of precision=HIGHEST's cost.  bf16=True skips the lo half.
+    def onehot_dot(onehot_side, dyn, dyn_on_right):
+        if bf16:
+            args = ((onehot_side, dyn.astype(bf)) if dyn_on_right
+                    else (dyn.astype(bf), onehot_side))
+            return jax.lax.dot(*args, preferred_element_type=f32)
+        hi = dyn.astype(bf)
+        lo = (dyn - hi.astype(f32)).astype(bf)
+        if dyn_on_right:
+            return (jax.lax.dot(onehot_side, hi, preferred_element_type=f32)
+                    + jax.lax.dot(onehot_side, lo,
+                                  preferred_element_type=f32))
+        return (jax.lax.dot(hi, onehot_side, preferred_element_type=f32)
+                + jax.lax.dot(lo, onehot_side, preferred_element_type=f32))
+
     rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
     live_row = (rows < R).astype(f32)
@@ -374,17 +404,17 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
 
     # ---- rot-slot scatter: E2 planes from bead pair energies (MXU) ------
     E = ep_ref[0]
-    Es = (E + E.T).astype(cdt)
-    S6 = s6_ref[:, :]                       # (6*LANE, NBP)
-    S6T = s6t_ref[:, :]                     # (NBP, 6*LANE)
-    h = jax.lax.dot(S6, Es, preferred_element_type=f32).astype(cdt)
+    Es = E + E.T
+    S6 = s6_ref[:, :].astype(jnp.bfloat16)  # (6*LANE, NBP), one-hot: exact
+    S6T = s6t_ref[:, :].astype(jnp.bfloat16)
+    h = onehot_dot(S6, Es, True)
 
     # one wide MXU dot per rot slot (u_a = h_a @ S6T covers all b blocks):
     # small-matmul issue overhead, not MACs, dominates these contractions
     planes = []
     for a in range(NROT):
         ha = h[a * LANE:(a + 1) * LANE, :]
-        ua = jax.lax.dot(ha, S6T, preferred_element_type=f32)
+        ua = onehot_dot(S6T, ha, False)
         row = []
         for b in range(NROT):
             u = ua[:, b * LANE:(b + 1) * LANE]
@@ -447,13 +477,11 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
             mm = P(a, b) * bc1[a] * bc1[b].T * rmnorm
             pbb = P(a, b) * bB1[a] * bB1[b].T
             edge_en = edge_en - pv * mm * (logeb[a] + logebT + logmn)
-            Gs.append((tadj * pv * mm * pbb / (EPS + pbb)).astype(cdt))
+            Gs.append(tadj * pv * mm * pbb / (EPS + pbb))
         # sum_a S6T_a @ G_ab as one (NBP, 6*LANE) x (6*LANE, LANE) dot
-        Zcols.append(jax.lax.dot(S6T, jnp.concatenate(Gs, axis=0),
-                                 preferred_element_type=f32))
+        Zcols.append(onehot_dot(S6T, jnp.concatenate(Gs, axis=0), True))
     # X = sum_b Z_b @ S6_b as one (NBP, 6*LANE) x (6*LANE, NBP) dot
-    X = jax.lax.dot(jnp.concatenate(Zcols, axis=1).astype(cdt), S6,
-                    preferred_element_type=f32)
+    X = onehot_dot(S6, jnp.concatenate(Zcols, axis=1), False)
 
     de_ref[0] = X + X.T
     f_ref[0] = (jnp.sum(node_en) + jnp.sum(tadj * edge_en)).reshape(1, 1)
@@ -476,13 +504,14 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
     f32 = jnp.float32
     n_rep, nb_count = E_pair.shape[0], E_pair.shape[1]
     NBP = S6.shape[1]
-    cdt = jnp.bfloat16 if bf16 else f32
     e1p = jnp.pad(E1.astype(f32),
                   ((0, 0), (0, LANE - R), (0, 8 - NROT)))
     epp = jnp.pad(E_pair.astype(f32),
                   ((0, 0), (0, NBP - nb_count), (0, NBP - nb_count)))
     valp = jnp.pad(jnp.asarray(valid, f32), ((0, LANE - R), (0, 8 - NROT)))
-    operands = [e1p, epp, S6.astype(cdt), S6T.astype(cdt), valp]
+    # the scatter one-hots are exact in bf16 (halves their VMEM footprint)
+    operands = [e1p, epp, S6.astype(jnp.bfloat16),
+                S6T.astype(jnp.bfloat16), valp]
     warm = init is not None
     if warm:
         nb0, eb0 = init
@@ -534,6 +563,11 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
             jax.ShapeDtypeStruct((n_rep, LANE, 8), f32),
             jax.ShapeDtypeStruct((n_rep, NROT, LANE, LANE), f32),
         ),
+        # the f32 (precision=HIGHEST) scatter needs more scratch than the
+        # 16M default scoped-vmem budget; the whole problem is ~8M so a
+        # raised ceiling is safe on v5e's 128M VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
     return (F[:, 0, 0], G1[:, :R, :NROT], dE[:, :nb_count, :nb_count],

@@ -35,6 +35,7 @@ HBM traffic per evaluation: site data in, (n1, n2) values out.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,8 +44,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
-RB_FWD = 8    # replicas per forward grid step (VMEM-bounded)
-RB_BWD = 4    # replicas per backward grid step (more live tensors)
+# replicas per grid step (VMEM-bounded; the backward kernel keeps more
+# live tensors).  Env-overridable for benchmarking experiments.
+RB_FWD = int(os.environ.get("UPSIDE_RB_FWD", "8"))
+RB_BWD = int(os.environ.get("UPSIDE_RB_BWD", "4"))
 
 
 def _round_up(x, m):
@@ -162,21 +165,55 @@ def _make_get_C(oh1_ref, t2t_ref, A):
     """Closure producing per-pair parameter planes from the type one-hots,
     shared across the RB replicas of the grid step.  get_C_group builds
     the planes of several slabs with ONE wider MXU matmul (the slabs are
-    column-concatenated in VMEM first — tiny (A, TJ) copies), so a
-    segment's interval planes don't pay per-matmul issue overhead."""
+    column-concatenated in VMEM first — tiny (2A, TJ) copies), so a
+    segment's interval planes don't pay per-matmul issue overhead.
+
+    Precision: the MXU's default single-pass matmul rounds f32 operands to
+    bf16, which put ~3e-3 relative noise on every spline coefficient
+    (caught on device by the bench.py Pallas-vs-XLA gate).  The slab
+    therefore arrives split into bf16 hi + lo ROW halves per slab
+    (t2t rows = [slab0 hi; slab0 lo; slab1 hi; ...], see _hilo_split),
+    and the one-hot LHS — EXACT in bf16 — is column-duplicated so ONE
+    K=2A matmul accumulates hi + lo in f32, reconstructing the table to
+    ~2^-16 relative.  Because K=2A <= 128 still fits one systolic pass,
+    this costs the same MXU cycles and the same instruction count as a
+    single-bf16 lookup — double precision for free."""
+    oh = oh1_ref[:, :].astype(jnp.bfloat16)
+    ohcat = jnp.concatenate([oh, oh], axis=1)          # (TI, 2A)
+    A2 = 2 * A
+
     def get_C(m):
-        slab = t2t_ref[m * A:(m + 1) * A, :]          # (A, TJ) static slice
-        return jnp.dot(oh1_ref[:, :], slab,
-                       preferred_element_type=jnp.float32)  # MXU (TI,TJ)
+        return jnp.dot(ohcat, t2t_ref[m * A2:(m + 1) * A2, :],
+                       preferred_element_type=jnp.float32)
 
     def get_C_group(ms):
-        rhs = jnp.concatenate([t2t_ref[m * A:(m + 1) * A, :] for m in ms],
-                              axis=1)                 # (A, len(ms)*TJ)
-        return jnp.dot(oh1_ref[:, :], rhs,
-                       preferred_element_type=jnp.float32)
+        rhs = jnp.concatenate(
+            [t2t_ref[m * A2:(m + 1) * A2, :] for m in ms],
+            axis=1)                                    # (2A, len(ms)*TJ)
+        return jnp.dot(ohcat, rhs, preferred_element_type=jnp.float32)
 
     get_C.group = get_C_group
     return get_C
+
+
+def _hilo_split(t2t):
+    """f32 (P, A, N) -> bf16 (P*2A, N) with rows [hi; lo] per slab, so
+    slab p's f32 value is recovered by a single K=2A one-hot matmul with
+    duplicated LHS columns (see _make_get_C).
+
+    The optimization_barrier is load-bearing: under jit, XLA (with its
+    default allow-excess-precision algebraic simplification) folds the
+    bf16->f32 up-convert of hi into a no-op, so lo becomes t2t - t2t = 0
+    and the whole parameter table silently degrades to single-bf16
+    precision (caught on device as a 2.8e-2 energy discrepancy vs
+    interpret mode; the lo plane measured identically zero under jit,
+    dense in eager).  The barrier sits between the down- and up-convert
+    so the pair cannot be cancelled."""
+    hi = t2t.astype(jnp.bfloat16)
+    hi_f32 = jax.lax.optimization_barrier(hi).astype(jnp.float32)
+    lo = (t2t - hi_f32).astype(jnp.bfloat16)
+    P, A, N = t2t.shape
+    return jnp.concatenate([hi, lo], axis=1).reshape(P * 2 * A, N)
 
 
 def _fwd_kernel(ka, k, inv_dx, A, x1_ref, x2t_ref, oh1_ref, t2t_ref,
@@ -411,8 +448,9 @@ def _prep(table, t1, t2, x1, x2, mask, w1=None):
     x1p = jnp.pad(x16, ((0, 0), (0, n1p - n1), (0, 8 - x16.shape[2])))
     x2p = jnp.pad(jnp.swapaxes(x2[:, :, :6].astype(jnp.float32), 1, 2),
                   ((0, 0), (0, 2), (0, n2p - n2)))
+    Ap = _round_up(A, 16)   # bf16 sublane tile: aligned slab slices
     oh1 = jax.nn.one_hot(t1, A, dtype=jnp.float32)
-    oh1 = jnp.pad(oh1, ((0, n1p - n1), (0, 0)))
+    oh1 = jnp.pad(oh1, ((0, n1p - n1), (0, Ap - A)))
     oh2 = jax.nn.one_hot(t2, B, dtype=jnp.float32)
     # poly-expand the knot axis (a static linear map of the parameter
     # table, position-independent, hoisted out of MD loops by XLA), then
@@ -421,12 +459,14 @@ def _prep(table, t1, t2, x1, x2, mask, w1=None):
     from .pairs import quadspline_family
     ka, k, _ = quadspline_family(M)
     P = jnp.asarray(_poly_matrix(ka, k))
-    tpoly = jnp.einsum('abm,mp->abp', table.astype(jnp.float32), P)
-    t2t = jnp.einsum('abp,jb->paj', tpoly, oh2)
-    t2t = t2t.reshape(tpoly.shape[-1] * A, n2)
-    t2t = jnp.pad(t2t, ((0, 0), (0, n2p - n2)))
+    HI = jax.lax.Precision.HIGHEST
+    tpoly = jnp.einsum('abm,mp->abp', table.astype(jnp.float32), P,
+                       precision=HI)
+    t2t = jnp.einsum('abp,jb->paj', tpoly, oh2, precision=HI)
+    t2t = jnp.pad(t2t, ((0, 0), (0, Ap - A), (0, n2p - n2)))
+    t2t = _hilo_split(t2t)                  # (P * 2Ap, n2p), [hi; lo] rows
     maskp = jnp.pad(mask.astype(jnp.float32), ((0, n1p - n1), (0, n2p - n2)))
-    return x1p, x2p, oh1, t2t, maskp, n1p, n2p
+    return x1p, x2p, oh1, t2t, maskp, n1p, n2p, Ap
 
 
 def _pad_reps(x, rb):
@@ -443,7 +483,7 @@ def _common_specs(A, M, rb):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((TILE, A), lambda r, i, j: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((M * A, TILE), lambda r, i, j: (0, j),
+        pl.BlockSpec((M * 2 * A, TILE), lambda r, i, j: (0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((TILE, TILE), lambda r, i, j: (i, j),
                      memory_space=pltpu.VMEM),
@@ -456,8 +496,9 @@ def _fwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask):
     ka, k, inv_dx = family
     A, B, M = table.shape
     n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
-    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
-    Mp = t2t.shape[0] // A
+    (x1p, x2p, oh1, t2t, maskp, n1p, n2p, A) = _prep(table, t1, t2, x1,
+                                                     x2, mask)
+    Mp = t2t.shape[0] // (2 * A)
     rb = min(rb, max(n_rep, 1))
     x1p, n_rb = _pad_reps(x1p, rb)
     x2p, _ = _pad_reps(x2p, rb)
@@ -479,8 +520,9 @@ def _bwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask, g):
     ka, k, inv_dx = family
     A, B, M = table.shape
     n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
-    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask)
-    Mp = t2t.shape[0] // A
+    (x1p, x2p, oh1, t2t, maskp, n1p, n2p, A) = _prep(table, t1, t2, x1,
+                                                     x2, mask)
+    Mp = t2t.shape[0] // (2 * A)
     rb = min(rb, max(n_rep, 1))
     x1p, n_rb = _pad_reps(x1p, rb)
     x2p, _ = _pad_reps(x2p, rb)
@@ -518,9 +560,9 @@ def _colsum_fwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask,
     ka, k, inv_dx = family
     A, B, M = table.shape
     n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
-    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask,
-                                                w1)
-    Mp = t2t.shape[0] // A
+    (x1p, x2p, oh1, t2t, maskp, n1p, n2p, A) = _prep(table, t1, t2, x1,
+                                                     x2, mask, w1)
+    Mp = t2t.shape[0] // (2 * A)
     rb = min(rb, max(n_rep, 1))
     x1p, n_rb = _pad_reps(x1p, rb)
     x2p, _ = _pad_reps(x2p, rb)
@@ -534,7 +576,7 @@ def _colsum_fwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, A), lambda r, j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp * A, TILE), lambda r, j, i: (0, j),
+            pl.BlockSpec((Mp * 2 * A, TILE), lambda r, j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, TILE), lambda r, j, i: (i, j),
                          memory_space=pltpu.VMEM),
@@ -554,9 +596,9 @@ def _colsum_bwd_batched(family, interpret, rb, table, t1, t2, x1, x2, mask,
     ka, k, inv_dx = family
     A, B, M = table.shape
     n_rep, n1, n2 = x1.shape[0], x1.shape[1], x2.shape[1]
-    x1p, x2p, oh1, t2t, maskp, n1p, n2p = _prep(table, t1, t2, x1, x2, mask,
-                                                w1)
-    Mp = t2t.shape[0] // A
+    (x1p, x2p, oh1, t2t, maskp, n1p, n2p, A) = _prep(table, t1, t2, x1,
+                                                     x2, mask, w1)
+    Mp = t2t.shape[0] // (2 * A)
     rb = min(rb, max(n_rep, 1))
     x1p, n_rb = _pad_reps(x1p, rb)
     x2p, _ = _pad_reps(x2p, rb)
@@ -701,8 +743,9 @@ def _table_cotangent(family, table, t1, t2, x1, x2, mask, g):
     Wd = bspline_window_weights(s, k, True)
     oh1f = jax.nn.one_hot(t1, A, dtype=jnp.float32)
     oh2f = jax.nn.one_hot(t2, B, dtype=jnp.float32)
+    HI = jax.lax.Precision.HIGHEST
     p_pair = jnp.einsum('ia,jb,abm->ijm', oh1f, oh2f,
-                        table.astype(jnp.float32))
+                        table.astype(jnp.float32), precision=HI)
     a1 = jnp.sum(Wa1 * p_pair[..., 0:ka], -1)
     a2 = jnp.sum(Wa2 * p_pair[..., ka:2 * ka], -1)
     narrow = jnp.sum(Wd * p_pair[..., 2 * ka + k:], -1)
@@ -711,7 +754,8 @@ def _table_cotangent(family, table, t1, t2, x1, x2, mask, g):
         (gm * a1 * narrow)[..., None] * Wa2,
         gm[..., None] * Wd,
         (gm * a1 * a2)[..., None] * Wd], axis=-1)
-    return jnp.einsum('ia,jb,ijm->abm', oh1f, oh2f, gW).astype(table.dtype)
+    return jnp.einsum('ia,jb,ijm->abm', oh1f, oh2f, gW,
+                      precision=HI).astype(table.dtype)
 
 
 def _bwd_rule(family, interpret, res, g):
@@ -844,3 +888,489 @@ def _colsum_bwd_rule(family, interpret, res, g):
 
 
 quadspline_colsum_pallas.defvjp(_colsum_fwd_rule, _colsum_bwd_rule)
+
+
+# ===========================================================================
+# Fused pair block: both hbond-coverage contractions AND the rotamer
+# bead-pair grid in ONE pallas_call per direction.
+# ===========================================================================
+#
+# The two coverage kernels (hbond_coverage, hbond_coverage_hydrophobe;
+# reference hbond.cpp:241-286) and the rotamer bead-pair kernel
+# (bead_interaction.h:30-84) stream the SAME group-2 operand (the sidechain
+# beads) through three separate kernel launches per direction.  This fusion
+# packs their group-1 rows into one tiled operand:
+#
+#   rows [0, n_cov1):        hbond virtuals, weight w1 in column 6
+#   rows [n_cov1, IT0*128):  hydrophobe probes, weight w2 in column 7
+#   rows [IT0*128, ...):     beads themselves (the symmetric pair grid)
+#
+# and unifies the three spline families: all shipped parameter sets share
+# n_knot_angular and the knot spacing within a set, differing only in the
+# distance knot count k.  Padding a k-knot distance segment to k_max knots
+# (edge replication) is EXACT for every in-cutoff coordinate -- the de Boor
+# window of interval i only touches coefficients [i-1, i+2], so appended
+# coefficients are reachable only at s >= k-2, which the per-segment cutoff
+# mask already zeroes.  One one-hot type space of size A1+A2+A3 routes each
+# row to its own table; two weight columns route rows to the two colsum
+# outputs (weights are zero elsewhere, so segments cannot leak into each
+# other's outputs).
+#
+# Outputs per call: colsums (2, n2) and the (n2, n2) pair grid.  The grid
+# output block index is clamped (max(i-IT0, 0)); coverage tiles write
+# scratch values into grid block 0 which the i=IT0 pair tile (later in the
+# innermost-i iteration order) overwrites.
+
+def _pad_distance_knots(table, ka, k, k_max):
+    """Pad the wide/narrow distance segments from k to k_max knots by edge
+    replication (exact below the family's own cutoff, see above)."""
+    if k == k_max:
+        return jnp.asarray(table, jnp.float32)
+    table = jnp.asarray(table, jnp.float32)
+    ang = table[..., :2 * ka]
+    wide = table[..., 2 * ka:2 * ka + k]
+    narrow = table[..., 2 * ka + k:2 * ka + 2 * k]
+    reps = [(0, 0)] * (table.ndim - 1) + [(0, k_max - k)]
+    wide = jnp.pad(wide, reps, mode='edge')
+    narrow = jnp.pad(narrow, reps, mode='edge')
+    return jnp.concatenate([ang, wide, narrow], axis=-1)
+
+
+def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
+                      x1_ref, x2t_ref, oh1_ref, t2t_ref, mask_ref,
+                      cs_ref, grid_ref):
+    inv_dtheta = (ka - 3) / 2.0
+    it = pl.program_id(2)
+    alive = jnp.any(mask_ref[:, :] > 0)
+
+    @pl.when(it == 0)
+    def _():
+        cs_ref[:, :, :] = jnp.zeros_like(cs_ref)
+
+    @pl.when(jnp.logical_not(alive))
+    def _():
+        grid_ref[:, :, :] = jnp.zeros_like(grid_ref)
+
+    @pl.when(alive)
+    def _():
+        _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
+        get_C = _make_get_C(oh1_ref, t2t_ref, A)
+        o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
+        s = dist * inv_dx
+        (a1,), _ = _poly_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
+                                    False, get_C, (o_a1,), False)
+        (a2,), _ = _poly_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
+                                    False, get_C, (o_a2,), False)
+        (wide, narrow), _ = _poly_accumulate(s, k, True, get_C,
+                                             (o_w, o_n), False)
+        kcut = jnp.where(it >= IT0, kcut_pair, kcut_cov)
+        live = (mask_ref[:, :] > 0)[None] & (s < kcut)
+        val = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
+        grid_ref[:, :, :] = val
+        w6 = x1_ref[:, :, 6:7]
+        w7 = x1_ref[:, :, 7:8]
+        cs_ref[:, 0:1, :] = cs_ref[:, 0:1, :] + jnp.sum(w6 * val, 1,
+                                                        keepdims=True)
+        cs_ref[:, 1:2, :] = cs_ref[:, 1:2, :] + jnp.sum(w7 * val, 1,
+                                                        keepdims=True)
+
+
+def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
+                      x1_ref, x2t_ref, oh1_ref, t2t_ref, mask_ref,
+                      gcs_ref, ggrid_ref, d1_ref, d2_ref):
+    inv_dtheta = (ka - 3) / 2.0
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    alive = jnp.any(mask_ref[:, :] > 0)
+
+    @pl.when(jnp.logical_not(alive))
+    def _():
+        @pl.when(j == 0)
+        def _():
+            d1_ref[:, :, :] = jnp.zeros_like(d1_ref)
+        d2_ref[0, :, :, :] = jnp.zeros_like(d2_ref[0])
+
+    @pl.when(alive)
+    def _():
+        dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
+            x1_ref, x2t_ref)
+        get_C = _make_get_C(oh1_ref, t2t_ref, A)
+        o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
+        s = dist * inv_dx
+        (a1,), (da1,) = _poly_accumulate(
+            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a1,), True)
+        (a2,), (da2,) = _poly_accumulate(
+            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a2,), True)
+        (wide, narrow), (dwide, dnarrow) = _poly_accumulate(
+            s, k, True, get_C, (o_w, o_n), True)
+
+        kcut = jnp.where(i >= IT0, kcut_pair, kcut_cov)
+        live = (mask_ref[:, :] > 0)[None] & (s < kcut)
+        is_pair = i >= IT0
+        w6 = x1_ref[:, :, 6:7]
+        w7 = x1_ref[:, :, 7:8]
+        gcov = w6 * gcs_ref[:, 0:1, :] + w7 * gcs_ref[:, 1:2, :]
+        g_raw = jnp.where(is_pair, ggrid_ref[:, :, :], gcov)
+        g = jnp.where(live, g_raw, 0.0)
+
+        radial = g * (dwide + a1 * a2 * dnarrow) * inv_dx
+        c1 = g * da1 * inv_dtheta * a2 * narrow
+        c2 = g * da2 * inv_dtheta * a1 * narrow
+        f1 = c1 * inv_dist
+        f2 = c2 * inv_dist
+        gx = (radial * ux + f1 * (dir1[0] - cos1 * ux)
+              - f2 * (dir2[0] + cos2 * ux))
+        gy = (radial * uy + f1 * (dir1[1] - cos1 * uy)
+              - f2 * (dir2[1] + cos2 * uy))
+        gz = (radial * uz + f1 * (dir1[2] - cos1 * uz)
+              - f2 * (dir2[2] + cos2 * uz))
+
+        # weight cotangents: d(colsum_k)/d(w_k[i]) = sum_j val * g_k[j];
+        # zero for pair tiles (their rows' weights are not exposed)
+        val = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
+        zero_if_pair = jnp.where(is_pair, 0.0, 1.0)
+        dw6 = zero_if_pair * jnp.sum(val * gcs_ref[:, 0:1, :], 2,
+                                     keepdims=True)
+        dw7 = zero_if_pair * jnp.sum(val * gcs_ref[:, 1:2, :], 2,
+                                     keepdims=True)
+
+        cols = []
+        for arr, sgn in ((gx, -1.0), (gy, -1.0), (gz, -1.0),
+                         (c1 * ux, 1.0), (c1 * uy, 1.0), (c1 * uz, 1.0)):
+            cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
+        cols.append(dw6)
+        cols.append(dw7)
+        block = jnp.concatenate(cols, axis=2)          # (RB, TI, 8)
+
+        @pl.when(j == 0)
+        def _():
+            d1_ref[:, :, :] = block
+
+        @pl.when(j > 0)
+        def _():
+            d1_ref[:, :, :] = d1_ref[:, :, :] + block
+
+        rows = []
+        for arr, sgn in ((gx, 1.0), (gy, 1.0), (gz, 1.0),
+                         (c2 * ux, -1.0), (c2 * uy, -1.0), (c2 * uz, -1.0)):
+            rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        d2_ref[0, :, :, :] = jnp.concatenate(rows, axis=1)  # (1, RB, 8, TJ)
+
+
+def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks):
+    """Pad, unify spline families, and build the concatenated operands.
+    x1a/x1b/xb carry a leading replica axis; w1a/w1b likewise."""
+    (ka, kc, inv_dxc), (ka2, kp, inv_dxp) = fams
+    assert ka == ka2 and abs(inv_dxc - inv_dxp) < 1e-12, \
+        "fused families must share angular knots and knot spacing"
+    k = max(kc, kp)
+    tab1, tab2, tab3 = [
+        _pad_distance_knots(t, ka, kf, k)
+        for t, kf in ((tabs[0], kc), (tabs[1], kc), (tabs[2], kp))]
+    A1, A2, A3 = tab1.shape[0], tab2.shape[0], tab3.shape[0]
+    A_tot = A1 + A2 + A3
+    Ap = _round_up(A_tot, 16)   # bf16 sublane tile: aligned slab slices
+    n_rep = xb.shape[0]
+    n_a, n_b, n2 = x1a.shape[1], x1b.shape[1], xb.shape[1]
+    N1 = n_a + n_b
+    N1C = _round_up(N1, TILE)
+    IT0 = N1C // TILE
+    n2p = _round_up(n2, TILE)
+    N1P = N1C + n2p
+
+    def row8(x, w6, w7):
+        cols = [x[:, :, :6].astype(jnp.float32)]
+        cols.append((w6 if w6 is not None else
+                     jnp.zeros(x.shape[:2], jnp.float32))[:, :, None]
+                    .astype(jnp.float32))
+        cols.append((w7 if w7 is not None else
+                     jnp.zeros(x.shape[:2], jnp.float32))[:, :, None]
+                    .astype(jnp.float32))
+        return jnp.concatenate(cols, axis=2)
+
+    pad_mid = N1C - N1
+    x1cat = jnp.concatenate([
+        row8(x1a, w1a, None),
+        row8(x1b, None, w1b),
+        jnp.zeros((n_rep, pad_mid, 8), jnp.float32),
+        row8(xb, None, None),
+        jnp.zeros((n_rep, n2p - n2, 8), jnp.float32)], axis=1)
+    x2t = jnp.pad(jnp.swapaxes(xb[:, :, :6].astype(jnp.float32), 1, 2),
+                  ((0, 0), (0, 2), (0, n2p - n2)))
+
+    oh1 = jnp.zeros((N1P, Ap), jnp.float32)
+    oh1 = oh1.at[:n_a, :A1].set(jax.nn.one_hot(t1s[0], A1,
+                                               dtype=jnp.float32))
+    oh1 = oh1.at[n_a:N1, A1:A1 + A2].set(
+        jax.nn.one_hot(t1s[1], A2, dtype=jnp.float32))
+    oh1 = oh1.at[N1C:N1C + n2, A1 + A2:A1 + A2 + A3].set(
+        jax.nn.one_hot(t1s[2], A3, dtype=jnp.float32))
+
+    # per-family poly expansion against the SHARED (ka, k) layout, stacked
+    # along the type axis so slab p rows are [fam1 A1 | fam2 A2 | fam3 A3]
+    P = jnp.asarray(_poly_matrix(ka, k))
+    HI = jax.lax.Precision.HIGHEST
+    slabs = []
+    for tab, t2f in zip((tab1, tab2, tab3), t2s):
+        oh2 = jax.nn.one_hot(t2f, tab.shape[1], dtype=jnp.float32)
+        tpoly = jnp.einsum('abm,mp->abp', tab, P, precision=HI)
+        slabs.append(jnp.einsum('abp,jb->paj', tpoly, oh2, precision=HI))
+    Mp = P.shape[1]
+    t2t = jnp.concatenate(slabs, axis=1)            # (Mp, A_tot, n2)
+    t2t = jnp.pad(t2t, ((0, 0), (0, Ap - A_tot), (0, n2p - n2)))
+    t2t = _hilo_split(t2t)                  # (Mp * 2Ap, n2p), [hi; lo] rows
+
+    maskcat = jnp.zeros((N1P, n2p), jnp.float32)
+    maskcat = maskcat.at[:n_a, :n2].set(masks[0].astype(jnp.float32))
+    maskcat = maskcat.at[n_a:N1, :n2].set(masks[1].astype(jnp.float32))
+    maskcat = maskcat.at[N1C:N1C + n2, :n2].set(
+        masks[2].astype(jnp.float32))
+
+    kcut_cov = kc - 2 - 1e-6
+    kcut_pair = kp - 2 - 1e-6
+    return (x1cat, x2t, oh1, t2t, maskcat, (ka, k, inv_dxc), Ap, IT0,
+            kcut_cov, kcut_pair, N1P, n2p, n2)
+
+
+def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
+                       x1a, w1a, x1b, w1b, xb):
+    (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
+     n2) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks)
+    ka, k, inv_dx = fam
+    n_rep = xb.shape[0]
+    Mp = t2t.shape[0] // (2 * A_tot)
+    rb = min(rb, max(n_rep, 1))
+    x1cat, n_rb = _pad_reps(x1cat, rb)
+    x2t, _ = _pad_reps(x2t, rb)
+    n_it = N1P // TILE
+    n_it_pair = n_it - IT0
+    cs, grid = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, ka, k, inv_dx, A_tot, IT0,
+                          kcc, kcp),
+        grid=(n_rb, n2p // TILE, n_it),
+        in_specs=[
+            pl.BlockSpec((rb, TILE, 8), lambda r, j, i: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda r, j, i: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, A_tot), lambda r, j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda r, j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda r, j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, 8, TILE), lambda r, j, i: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE, TILE),
+                         lambda r, j, i: (r, jnp.maximum(i - IT0, 0), j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rb * rb, 8, n2p), jnp.float32),
+            jax.ShapeDtypeStruct((n_rb * rb, n_it_pair * TILE, n2p),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )(x1cat, x2t, oh1, t2t, maskcat)
+    cov1 = cs[:n_rep, 0, :n2].astype(xb.dtype)
+    cov2 = cs[:n_rep, 1, :n2].astype(xb.dtype)
+    return cov1, cov2, grid[:n_rep, :n2, :n2].astype(xb.dtype)
+
+
+def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
+                       x1a, w1a, x1b, w1b, xb, g1, g2, gg):
+    (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
+     n2) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks)
+    ka, k, inv_dx = fam
+    n_rep = xb.shape[0]
+    n_a, n_b = x1a.shape[1], x1b.shape[1]
+    N1 = n_a + n_b
+    N1C = _round_up(N1, TILE)
+    Mp = t2t.shape[0] // (2 * A_tot)
+    rb = min(rb, max(n_rep, 1))
+    x1cat, n_rb = _pad_reps(x1cat, rb)
+    x2t, _ = _pad_reps(x2t, rb)
+    R = n_rb * rb
+
+    gcs = jnp.stack([g1.astype(jnp.float32), g2.astype(jnp.float32)],
+                    axis=1)                              # (n_rep, 2, n2)
+    gcs = jnp.pad(gcs, ((0, R - n_rep), (0, 6), (0, n2p - n2)))
+    ggrid = jnp.pad(gg.astype(jnp.float32),
+                    ((0, R - n_rep), (0, (N1P - N1C) - n2), (0, n2p - n2)))
+
+    n_it = N1P // TILE
+    d1, d2_part = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, ka, k, inv_dx, A_tot, IT0,
+                          kcc, kcp),
+        grid=(n_rb, n_it, n2p // TILE),
+        in_specs=[
+            pl.BlockSpec((rb, TILE, 8), lambda r, i, j: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda r, i, j: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, A_tot), lambda r, i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda r, i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda r, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda r, i, j: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE, TILE),
+                         lambda r, i, j: (r, jnp.maximum(i - IT0, 0), j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, TILE, 8), lambda r, i, j: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 8, TILE), lambda r, i, j: (i, r, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, N1P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x1cat, x2t, oh1, t2t, maskcat, gcs, ggrid)
+    d2 = jnp.swapaxes(jnp.sum(d2_part, axis=0), 1, 2)    # (R, n2p, 8)
+    dxa = d1[:n_rep, :n_a]
+    dxb = d1[:n_rep, n_a:N1]
+    dbeads_g1 = d1[:n_rep, N1C:N1C + n2, :6]
+    return dxa, dxb, dbeads_g1, d2[:n_rep, :n2]
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_fwd_dispatch(fams, interpret):
+    @jax.custom_batching.custom_vmap
+    def fwd(tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c, ma, mb, mc,
+            x1a, w1a, x1b, w1b, xb):
+        c1, c2, grid = _fused_fwd_batched(
+            fams, interpret, RB_FWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a[None], w1a[None],
+            x1b[None], w1b[None], xb[None])
+        return c1[0], c2[0], grid[0]
+
+    @fwd.def_vmap
+    def rule(axis_size, in_batched, tab1, tab2, tab3, t1a, t1b, t1c,
+             t2a, t2b, t2c, ma, mb, mc, x1a, w1a, x1b, w1b, xb):
+        statics = (tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c,
+                   ma, mb, mc)
+        dyn = [x1a, w1a, x1b, w1b, xb]
+        if any(in_batched[:12]):
+            # per-replica tables/masks (Hamiltonian ensembles): sequential
+            # fallback keeps semantics without kernel support
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(statics + tuple(dyn), in_batched)]
+            out = jax.lax.map(lambda args: fwd(*args), tuple(bs))
+            return out, (True, True, True)
+        for n, b in enumerate(in_batched[12:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        x1a, w1a, x1b, w1b, xb = dyn
+        out = _fused_fwd_batched(
+            fams, interpret, RB_FWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb)
+        return out, (True, True, True)
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_bwd_dispatch(fams, interpret):
+    @jax.custom_batching.custom_vmap
+    def bwd(tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c, ma, mb, mc,
+            x1a, w1a, x1b, w1b, xb, g1, g2, gg):
+        outs = _fused_bwd_batched(
+            fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a[None], w1a[None],
+            x1b[None], w1b[None], xb[None], g1[None], g2[None], gg[None])
+        return tuple(o[0] for o in outs)
+
+    @bwd.def_vmap
+    def rule(axis_size, in_batched, tab1, tab2, tab3, t1a, t1b, t1c,
+             t2a, t2b, t2c, ma, mb, mc, x1a, w1a, x1b, w1b, xb, g1, g2,
+             gg):
+        statics = (tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c,
+                   ma, mb, mc)
+        dyn = [x1a, w1a, x1b, w1b, xb, g1, g2, gg]
+        if any(in_batched[:12]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(statics + tuple(dyn), in_batched)]
+            out = jax.lax.map(lambda args: bwd(*args), tuple(bs))
+            return out, (True, True, True, True)
+        for n, b in enumerate(in_batched[12:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        x1a, w1a, x1b, w1b, xb, g1, g2, gg = dyn
+        out = _fused_bwd_batched(
+            fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb, g1, g2,
+            gg)
+        return out, (True, True, True, True)
+
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_pair_block(fams, interpret, tab1, tab2, tab3, t1a, t1b, t1c,
+                     t2a, t2b, t2c, ma, mb, mc, x1a, w1a, x1b, w1b, xb):
+    """One kernel for (hbond coverage colsum, hydrophobe coverage colsum,
+    bead pair grid) sharing the bead operand xb.
+
+    fams: ((ka, k_cov, inv_dx), (ka, k_pair, inv_dx)) — the coverage
+    tables (tab1, tab2) must be one family and the pair table (tab3)
+    another (possibly equal); all must share ka and inv_dx (true for
+    every shipped parameter set, src/bead_interaction.h:12-27).
+
+    Returns (cov1 (n2,), cov2 (n2,), grid (n2, n2)); identical values to
+    three separate quadspline_colsum_pallas/quadspline_pallas calls.
+    Gradients flow to the tables, x1a/w1a, x1b/w1b and xb."""
+    return _fused_fwd_dispatch(fams, interpret)(
+        tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c, ma, mb, mc,
+        x1a, w1a, x1b, w1b, xb)
+
+
+def _fused_fwd_rule(fams, interpret, tab1, tab2, tab3, t1a, t1b, t1c,
+                    t2a, t2b, t2c, ma, mb, mc, x1a, w1a, x1b, w1b, xb):
+    out = _fused_fwd_dispatch(fams, interpret)(
+        tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c, ma, mb, mc,
+        x1a, w1a, x1b, w1b, xb)
+    return out, (tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c, ma, mb,
+                 mc, x1a, w1a, x1b, w1b, xb)
+
+
+def _fused_bwd_rule(fams, interpret, res, cots):
+    (tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c, ma, mb, mc,
+     x1a, w1a, x1b, w1b, xb) = res
+    g1, g2, gg = cots
+    fam_cov, fam_pair = fams
+
+    dxa, dxb, dbg1, d2 = _fused_bwd_dispatch(fams, interpret)(
+        tab1, tab2, tab3, t1a, t1b, t1c, t2a, t2b, t2c, ma, mb, mc,
+        x1a, w1a, x1b, w1b, xb, g1, g2, gg)
+
+    d_x1a = jnp.zeros_like(x1a).at[:, :6].set(dxa[:, :6].astype(x1a.dtype))
+    d_w1a = dxa[:, 6].astype(w1a.dtype)
+    d_x1b = jnp.zeros_like(x1b).at[:, :6].set(dxb[:, :6].astype(x1b.dtype))
+    d_w1b = dxb[:, 7].astype(w1b.dtype)
+    d_xb = jnp.zeros_like(xb).at[:, :6].set(
+        (dbg1 + d2[:, :6]).astype(xb.dtype))
+
+    # table cotangents through the XLA dense-window formulation (dead-code
+    # eliminated in MD; alive only under parameter training)
+    gm1 = w1a[:, None] * g1[None, :]
+    d_tab1 = _table_cotangent(fam_cov, tab1, t1a, t2a, x1a, xb, ma, gm1)
+    gm2 = w1b[:, None] * g2[None, :]
+    d_tab2 = _table_cotangent(fam_cov, tab2, t1b, t2b, x1b, xb, mb, gm2)
+    d_tab3 = _table_cotangent(fam_pair, tab3, t1c, t2c, xb, xb, mc, gg)
+    return (d_tab1, d_tab2, d_tab3, None, None, None, None, None, None,
+            None, None, None, d_x1a, d_w1a, d_x1b, d_w1b, d_xb)
+
+
+fused_pair_block.defvjp(_fused_fwd_rule, _fused_bwd_rule)

@@ -29,6 +29,21 @@ class System:
         self.specs = topo_sort(by_name)
         self.by_name = {s.name: s for s in self.specs}
 
+        # cross-node kernel fusion (coverage + hydrophobe + rotamer pair
+        # grid in one Pallas call on TPU; see nodes/fusion.py).  The first
+        # coverage member moves directly before the second so all fused
+        # inputs exist when the fused kernel fires.
+        from .nodes.fusion import plan_pair_fusion
+        self.pair_fusion = plan_pair_fusion(self.specs)
+        if self.pair_fusion is not None:
+            order = [s.name for s in self.specs]
+            i1 = order.index(self.pair_fusion.cov1.name)
+            i2 = order.index(self.pair_fusion.cov2.name)
+            if i2 - i1 > 1:
+                moved = self.specs[i1]
+                self.specs = (self.specs[:i1] + self.specs[i1 + 1:i2]
+                              + [moved] + self.specs[i2:])
+
     # -- parameters ---------------------------------------------------------
 
     def make_params(self) -> Dict[str, Dict]:
@@ -55,7 +70,11 @@ class System:
         extra.setdefault("_cache_out", {})
         outputs = {"pos": pos}
         per_term = {}
+        fusion = self.pair_fusion
+        fuse_on = fusion is not None and fusion.enabled()
         for s in self.specs:
+            if fuse_on and s.name == fusion.trigger_name:
+                extra["_fused"] = fusion.compute(params, outputs)
             inputs = [outputs[a] for a in s.args]
             p = params.get(s.name, {})
             extra["_node_name"] = s.name
