@@ -53,13 +53,13 @@ def main():
     assert plan is not None
 
     def upstream(p):
-        """Evaluate the graph up to (excluding) the fused trigger, return
-        the outputs dict entries the fused kernel consumes."""
+        """Evaluate every node except the rotamer itself (unfused path),
+        returning all outputs the fused kernel / BP assembly consume."""
         outputs = {"pos": p}
         extra = {"_cache_out": {}}
         for s in system.specs:
-            if s.name == plan.trigger_name:
-                break
+            if s.name == plan.rot.name:
+                continue
             inputs = [outputs[a] for a in s.args]
             extra["_node_name"] = s.name
             outputs[s.name] = s.node_type.compute(
@@ -99,6 +99,7 @@ def main():
 
     rot_in_jit = jax.jit(jax.vmap(rot_inputs))
     E1, E_pair, valid = rot_in_jit(outs)
+    valid = valid[0]   # static per system; keep unbatched for the kernel
     n_bead = E_pair.shape[1]
     nbp = -(-n_bead // LANE) * LANE
     S6 = _scatter_onehots(consts["res"], consts["rot"], nbp)
@@ -113,12 +114,12 @@ def main():
                                    valid, None)
         return F
 
-    bp_jit = jax.jit(jax.vmap(bp))
-    t_bp = timed(lambda: bp_jit(E1, E_pair, valid))
+    bp_jit = jax.jit(jax.vmap(lambda e1, ep: bp(e1, ep, valid)))
+    t_bp = timed(lambda: bp_jit(E1, E_pair))
 
     bp_grad = jax.jit(jax.vmap(jax.grad(
-        lambda e1, ep, v: bp(e1, ep, v), argnums=(0, 1))))
-    t_bp_g = timed(lambda: bp_grad(E1, E_pair, valid))
+        lambda e1, ep: bp(e1, ep, valid), argnums=(0, 1))))
+    t_bp_g = timed(lambda: bp_grad(E1, E_pair))
 
     # ---- full energy+grad context ---------------------------------------
     eg = jax.jit(jax.vmap(jax.value_and_grad(
