@@ -1,0 +1,253 @@
+"""In-jit loop timings of the sidechain-complex pieces at bench shapes.
+
+The remote-TPU tunnel has a ~28 ms dispatch floor, so single-dispatch
+micro-benchmarks (tools/perf_kernels.py) cannot resolve ms-scale kernels.
+This tool wraps each candidate in a lax.fori_loop INSIDE one jit (the same
+structure Simulation.advance uses) and divides by the iteration count.
+Each iteration perturbs its inputs so no stage can be CSE'd or served from
+a record/replay cache.
+
+Pieces:
+  * upstream energy+grad (everything but coverage+rotamer)
+  * fused pair block forward / forward+backward
+  * BP mega-kernel warm-start forward / forward+VJP
+  * full force evaluation (context)
+
+Usage: python tools/perf_loop.py [n_replica] [n_iters]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+cache = os.environ.get("JAX_COMPILATION_CACHE",
+                       os.path.expanduser("~/.upside_tpu_jax_cache"))
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from upside_md_tpu.bench_systems import UBIQUITIN, build_full_system
+
+
+def timed(fn, n=3):
+    out = fn()
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def loop_time(body, carry, n_iters, label):
+    """Time a jitted fori_loop of `body` and print per-iteration cost."""
+    @jax.jit
+    def run(carry):
+        return jax.lax.fori_loop(0, n_iters, body, carry)
+
+    t = timed(lambda: run(carry))
+    print(f"{label:48s} {t / n_iters * 1e3:9.3f} ms/iter"
+          f"   ({t*1e3:8.1f} ms / {n_iters})")
+    return t / n_iters
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only = [a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+            if a.startswith("--only=")]
+    only = set(only[0]) if only else {"up", "fused", "bp", "full"}
+    n_rep = int(args[0]) if len(args) > 0 else 64
+    n_iters = int(args[1]) if len(args) > 1 else 30
+    system, params, pos, aux = build_full_system(seq=UBIQUITIN)
+    pos = jnp.asarray(pos)
+    posb = jnp.broadcast_to(pos, (n_rep,) + pos.shape) \
+        + 1e-3 * jax.random.normal(jax.random.PRNGKey(0),
+                                   (n_rep,) + pos.shape, pos.dtype)
+    jiggle = 1e-5 * jax.random.normal(jax.random.PRNGKey(1), posb.shape,
+                                      posb.dtype)
+
+    plan = system.pair_fusion
+    assert plan is not None
+
+    def upstream(p):
+        """Everything except the fused members (coverage x2 + rotamer)."""
+        outputs = {"pos": p}
+        extra = {"_cache_out": {}}
+        for s in system.specs:
+            if s.name in plan.member_names:
+                continue
+            inputs = [outputs[a] for a in s.args]
+            extra["_node_name"] = s.name
+            outputs[s.name] = s.node_type.compute(
+                s.consts, params.get(s.name, {}), inputs, extra)
+        keys = set(plan.cov1.args) | set(plan.cov2.args) \
+            | set(plan.rot.args) | {"pos"}
+        return {k: outputs[k] for k in keys if k in outputs}
+
+    def up_energy(p):
+        outputs = {"pos": p}
+        extra = {"_cache_out": {}}
+        tot = 0.0
+        for s in system.specs:
+            if s.name in plan.member_names:
+                continue
+            inputs = [outputs[a] for a in s.args]
+            extra["_node_name"] = s.name
+            out = s.node_type.compute(s.consts, params.get(s.name, {}),
+                                      inputs, extra)
+            outputs[s.name] = out
+            if s.node_type.is_potential:
+                tot = tot + jnp.sum(out)
+        return tot
+
+    # ---- 1. upstream energy+grad --------------------------------------
+    if "up" in only:
+        up_eg = jax.vmap(jax.value_and_grad(up_energy))
+
+        def body_up(i, p):
+            _, g = up_eg(p + i * jiggle)
+            return p + 1e-6 * g
+
+        loop_time(body_up, posb, n_iters,
+                  "upstream (no cov/rot) energy+grad")
+
+    # ---- 2. fused pair block ------------------------------------------
+    if "fused" in only:
+        outs0 = jax.jit(jax.vmap(upstream))(posb)
+
+        def fused_loss(o):
+            r = plan.compute(params, o)
+            return sum(jnp.sum(v) for v in r.values())
+
+        fused_vg = jax.vmap(jax.value_and_grad(fused_loss))
+        fused_f = jax.vmap(lambda o: plan.compute(params, o))
+
+        def body_fused_fwd(i, o):
+            r = fused_f(o)
+            s = sum(jnp.sum(v) for v in jax.tree_util.tree_leaves(r))
+            return jax.tree_util.tree_map(lambda x: x + 1e-12 * s, o)
+
+        def body_fused_fb(i, o):
+            _, g = fused_vg(o)
+            return jax.tree_util.tree_map(lambda x, gg: x + 1e-9 * gg,
+                                          o, g)
+
+        loop_time(body_fused_fwd, outs0, n_iters, "fused pair block fwd")
+        loop_time(body_fused_fb, outs0, n_iters, "fused pair block fwd+bwd")
+
+    # ---- 3. BP mega-kernel (warm start, like MD) -----------------------
+    if "bp" not in only:
+        if "full" not in only:
+            return
+    from upside_md_tpu.nodes.rotamer import (assemble_one_body,
+                                             assemble_pair_grid)
+    from upside_md_tpu.ops.pallas_bp import (LANE, _scatter_onehots,
+                                             bp_bethe_pairs)
+    rot = plan.rot
+    consts, rparams = rot.consts, params[rot.name]
+
+    def rot_inputs(o):
+        inputs = [o[a] for a in rot.args]
+        x, E1, offset, prob, valid = assemble_one_body(consts, rparams,
+                                                       inputs)
+        E_pair, _ = assemble_pair_grid(consts, rparams, x)
+        return E1, E_pair
+
+    # make the coverage outputs available to rot_inputs
+    def full_outputs(p):
+        outputs = {"pos": p}
+        extra = {"_cache_out": {}}
+        for s in system.specs:
+            if s.name == plan.rot.name:
+                continue
+            inputs = [outputs[a] for a in s.args]
+            extra["_node_name"] = s.name
+            outputs[s.name] = s.node_type.compute(
+                s.consts, params.get(s.name, {}), inputs, extra)
+        return {k: outputs[k] for k in set(rot.args) | {"pos"}}
+
+    outs_full = jax.jit(jax.vmap(full_outputs))(posb)
+    E1, E_pair = jax.jit(jax.vmap(rot_inputs))(outs_full)
+    valid = jnp.asarray(consts["valid"])
+    n_bead = E_pair.shape[1]
+    nbp = -(-n_bead // LANE) * LANE
+    S6 = jnp.asarray(_scatter_onehots(consts["res"], consts["rot"], nbp))
+    S6T = jnp.asarray(np.ascontiguousarray(
+        _scatter_onehots(consts["res"], consts["rot"], nbp).T))
+    static = (int(consts["n_res"]), float(consts["damping"]),
+              int(consts["max_iter"]), float(consts["tol"]), 2)
+
+    def bp_warm(e1, ep, nb0, eb0):
+        return bp_bethe_pairs(static, False, False,
+                              e1.astype(jnp.float32),
+                              ep.astype(jnp.float32), S6, S6T,
+                              valid, (nb0, eb0))
+
+    # converge once to get warm messages
+    def bp_cold(e1, ep):
+        return bp_bethe_pairs(static, False, False,
+                              e1.astype(jnp.float32),
+                              ep.astype(jnp.float32), S6, S6T, valid, None)
+
+    F0, nb0, eb0 = jax.jit(jax.vmap(bp_cold))(E1, E_pair)
+
+    def body_bp_fwd(i, carry):
+        e1, ep, nb, eb = carry
+        ep2 = ep * (1.0 + 1e-6 * jnp.sin(i.astype(jnp.float32)))
+        F, nb, eb = jax.vmap(bp_warm)(e1, ep2, nb, eb)
+        return (e1, ep, jax.lax.stop_gradient(nb),
+                jax.lax.stop_gradient(eb))
+
+    if "bp" in only:
+        loop_time(body_bp_fwd, (E1, E_pair, nb0, eb0), n_iters,
+                  "BP mega-kernel warm fwd")
+
+    def bp_loss(e1, ep, nb, eb):
+        F, nb2, eb2 = bp_warm(e1, ep, nb, eb)
+        return F, (nb2, eb2)
+
+    bp_vg = jax.vmap(jax.value_and_grad(bp_loss, argnums=(0, 1),
+                                        has_aux=True))
+
+    def body_bp_fb(i, carry):
+        e1, ep, nb, eb = carry
+        ep2 = ep * (1.0 + 1e-6 * jnp.sin(i.astype(jnp.float32)))
+        (F, (nb, eb)), (g1, g2) = bp_vg(e1, ep2, nb, eb)
+        return (e1 + 0.0 * g1, ep + 0.0 * g2,
+                jax.lax.stop_gradient(nb), jax.lax.stop_gradient(eb))
+
+    if "bp" in only:
+        loop_time(body_bp_fb, (E1, E_pair, nb0, eb0), n_iters,
+                  "BP mega-kernel warm fwd+VJP")
+
+    # ---- 4. full force evaluation (context) ----------------------------
+    if "full" not in only:
+        return
+    from upside_md_tpu.md.sim import Simulation
+    sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
+                     do_recenter=False)
+    state0 = sim.initial_state(pos, params, seed=1234, temperature=0.85,
+                               n_replica=n_rep)
+    n_rounds = max(n_iters // 3, 1)
+    state_box = [state0]
+
+    def adv():
+        state_box[0] = sim.advance(state_box[0], params, n_rounds, True)
+        return state_box[0].pos
+
+    t = timed(adv)
+    print(f"{'full advance (context)':48s} "
+          f"{t / (3 * n_rounds) * 1e3:9.3f} ms/eval"
+          f"   ({t*1e3:8.1f} ms / {3*n_rounds})")
+
+
+if __name__ == "__main__":
+    main()

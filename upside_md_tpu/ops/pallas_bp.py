@@ -364,33 +364,51 @@ bp_bethe_pallas.defvjp(_bp_fwd, _bp_bwd)
 def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
                      *refs):
     if warm:
-        (e1_ref, ep_ref, s6_ref, s6t_ref, valid_ref, nb0_ref, eb0_ref,
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, nb0_ref, eb0_ref,
          f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
     else:
-        (e1_ref, ep_ref, s6_ref, s6t_ref, valid_ref,
-         f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
 
     f32 = jnp.float32
     bf = jnp.bfloat16
 
-    # every dot here has the EXACT-in-bf16 scatter one-hot on one side, so
-    # splitting the dynamic f32 operand into bf16 hi + lo halves and
-    # summing two single-pass products reconstructs the f32 result to
-    # ~2^-24 (the bench.py device gate requires the scatter exact) at a
-    # third of precision=HIGHEST's cost.  bf16=True skips the lo half.
-    def onehot_dot(onehot_side, dyn, dyn_on_right):
-        if bf16:
-            args = ((onehot_side, dyn.astype(bf)) if dyn_on_right
-                    else (dyn.astype(bf), onehot_side))
-            return jax.lax.dot(*args, preferred_element_type=f32)
+    # Every contraction here has the EXACT-in-bf16 scatter one-hot on one
+    # side.  The f32 dynamic operand is split into bf16 hi + lo halves and
+    # both halves are contracted in ONE MXU issue: the one-hot side arrives
+    # pre-duplicated along the contraction axis ([S | S]) and the hi/lo
+    # halves are stacked along it ([hi; lo]), so (S|S)@(hi;lo) =
+    # S@hi + S@lo reconstructs the f32 result to ~2^-24 with the MAC count
+    # of two single-pass dots but a SINGLE instruction issue — the round-2
+    # profiling showed issue overhead, not MACs, dominates these
+    # scatter-shaped matmuls.  bf16=True slices the plain one-hot out of
+    # the duplicated operand and contracts the hi half alone.
+    def hl_rows(dyn):
         hi = dyn.astype(bf)
         lo = (dyn - hi.astype(f32)).astype(bf)
-        if dyn_on_right:
-            return (jax.lax.dot(onehot_side, hi, preferred_element_type=f32)
-                    + jax.lax.dot(onehot_side, lo,
-                                  preferred_element_type=f32))
-        return (jax.lax.dot(hi, onehot_side, preferred_element_type=f32)
-                + jax.lax.dot(lo, onehot_side, preferred_element_type=f32))
+        return jnp.concatenate([hi, lo], axis=0)
+
+    def hl_cols(dyn):
+        hi = dyn.astype(bf)
+        lo = (dyn - hi.astype(f32)).astype(bf)
+        return jnp.concatenate([hi, lo], axis=1)
+
+    def onehot_dot_l(oh_dup, dyn):
+        """oh_dup (m, 2k) = [S | S]; dyn f32 (k, n) -> exact S @ dyn."""
+        if bf16:
+            return jax.lax.dot(oh_dup[:, :dyn.shape[0]], dyn.astype(bf),
+                               preferred_element_type=f32)
+        return jax.lax.dot(oh_dup, hl_rows(dyn),
+                           preferred_element_type=f32)
+
+    def onehot_dot_r(dyn, oh_stack):
+        """dyn f32 (m, k); oh_stack (2k, n) = [S; S] -> exact dyn @ S."""
+        if bf16:
+            return jax.lax.dot(dyn.astype(bf), oh_stack[:dyn.shape[1]],
+                               preferred_element_type=f32)
+        return jax.lax.dot(hl_cols(dyn), oh_stack,
+                           preferred_element_type=f32)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
@@ -402,22 +420,18 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
     validC, validB, masked, offset, probC = _node_prep(e1_ref[0],
                                                        valid_ref[:, :])
 
-    # ---- rot-slot scatter: E2 planes from bead pair energies (MXU) ------
+    # ---- rot-slot scatter: E2 planes from bead pair energies ------------
+    # u = S6 @ (E + E^T) @ S6^T in TWO wide exact dots (was 7 + 7 hi/lo)
     E = ep_ref[0]
     Es = E + E.T
-    S6 = s6_ref[:, :].astype(jnp.bfloat16)  # (6*LANE, NBP), one-hot: exact
-    S6T = s6t_ref[:, :].astype(jnp.bfloat16)
-    h = onehot_dot(S6, Es, True)
+    h = onehot_dot_l(s6d2_ref[:, :], Es)            # (6L, NBP) f32
+    u_all = onehot_dot_r(h, s6t2_ref[:, :])         # (6L, 6L) f32
 
-    # one wide MXU dot per rot slot (u_a = h_a @ S6T covers all b blocks):
-    # small-matmul issue overhead, not MACs, dominates these contractions
     planes = []
     for a in range(NROT):
-        ha = h[a * LANE:(a + 1) * LANE, :]
-        ua = onehot_dot(S6T, ha, False)
         row = []
         for b in range(NROT):
-            u = ua[:, b * LANE:(b + 1) * LANE]
+            u = u_all[a * LANE:(a + 1) * LANE, b * LANE:(b + 1) * LANE]
             vm = validB[a] * validB[b].T
             row.append(jnp.exp(-u) * vm)
         planes.append(row)
@@ -468,7 +482,7 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
 
     tadj = triu * adjP
     edge_en = jnp.zeros((LANE, LANE), f32)
-    Zcols = []
+    Gcols = []
     for b in range(NROT):
         logebT = logeb[b].T
         Gs = []
@@ -478,10 +492,11 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
             pbb = P(a, b) * bB1[a] * bB1[b].T
             edge_en = edge_en - pv * mm * (logeb[a] + logebT + logmn)
             Gs.append(tadj * pv * mm * pbb / (EPS + pbb))
-        # sum_a S6T_a @ G_ab as one (NBP, 6*LANE) x (6*LANE, LANE) dot
-        Zcols.append(onehot_dot(S6T, jnp.concatenate(Gs, axis=0), True))
-    # X = sum_b Z_b @ S6_b as one (NBP, 6*LANE) x (6*LANE, NBP) dot
-    X = onehot_dot(S6, jnp.concatenate(Zcols, axis=1), False)
+        Gcols.append(jnp.concatenate(Gs, axis=0))
+    # X = S6^T @ G_all @ S6 in TWO wide exact dots (was 7 + 7 hi/lo)
+    G_all = jnp.concatenate(Gcols, axis=1)          # (6L, 6L) f32
+    T1 = onehot_dot_l(s6td2_ref[:, :], G_all)       # (NBP, 6L) f32
+    X = onehot_dot_r(T1, s6s2_ref[:, :])            # (NBP, NBP) f32
 
     de_ref[0] = X + X.T
     f_ref[0] = (jnp.sum(node_en) + jnp.sum(tadj * edge_en)).reshape(1, 1)
@@ -509,9 +524,16 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
     epp = jnp.pad(E_pair.astype(f32),
                   ((0, 0), (0, NBP - nb_count), (0, NBP - nb_count)))
     valp = jnp.pad(jnp.asarray(valid, f32), ((0, LANE - R), (0, 8 - NROT)))
-    # the scatter one-hots are exact in bf16 (halves their VMEM footprint)
-    operands = [e1p, epp, S6.astype(jnp.bfloat16),
-                S6T.astype(jnp.bfloat16), valp]
+    # the scatter one-hots are exact in bf16; each is shipped duplicated
+    # along its contraction axis so the kernel's hi/lo reconstruction is a
+    # single MXU issue (see onehot_dot_l/_r in _bp_pairs_kernel)
+    S6b = S6.astype(jnp.bfloat16)
+    S6Tb = S6T.astype(jnp.bfloat16)
+    s6d2 = jnp.concatenate([S6b, S6b], axis=1)      # (6L, 2*NBP)
+    s6t2 = jnp.concatenate([S6Tb, S6Tb], axis=0)    # (2*NBP, 6L)
+    s6td2 = jnp.concatenate([S6Tb, S6Tb], axis=1)   # (NBP, 2*6L)
+    s6s2 = jnp.concatenate([S6b, S6b], axis=0)      # (2*6L, NBP)
+    operands = [e1p, epp, s6d2, s6t2, s6td2, s6s2, valp]
     warm = init is not None
     if warm:
         nb0, eb0 = init
@@ -525,9 +547,13 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, NBP, NBP), lambda r: (r, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((NROT * LANE, NBP), lambda r: (0, 0),
+        pl.BlockSpec((NROT * LANE, 2 * NBP), lambda r: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((NBP, NROT * LANE), lambda r: (0, 0),
+        pl.BlockSpec((2 * NBP, NROT * LANE), lambda r: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NBP, 2 * NROT * LANE), lambda r: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * NROT * LANE, NBP), lambda r: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((LANE, 8), lambda r: (0, 0),
                      memory_space=pltpu.VMEM),

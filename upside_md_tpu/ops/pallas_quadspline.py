@@ -921,6 +921,59 @@ quadspline_colsum_pallas.defvjp(_colsum_fwd_rule, _colsum_bwd_rule)
 # scratch values into grid block 0 which the i=IT0 pair tile (later in the
 # innermost-i iteration order) overwrites.
 
+def _fill_C_scratch(get_C, ka, k, c_ref):
+    """Fill the (Mp, TILE, TILE) VMEM scratch with EVERY (segment, degree,
+    interval) per-pair poly-coefficient plane of this (i, j) tile — the
+    replica-INDEPENDENT part of the kernel.  Runs once per tile (at the
+    first replica-block grid step) and is reused by all replica blocks,
+    so the MXU table-lookup cost no longer scales with the ensemble."""
+    na = (ka - 3) * 4
+    nd = (k - 3) * 4
+    TJ = c_ref.shape[-1]
+    for off, n_int in ((0, ka - 3), (na, ka - 3),
+                       (2 * na, k - 3), (2 * na + nd, k - 3)):
+        for d in range(4):
+            C_all = get_C.group([off + iv * 4 + d for iv in range(n_int)])
+            for iv in range(n_int):
+                c_ref[off + iv * 4 + d] = C_all[:, iv * TJ:(iv + 1) * TJ]
+
+
+def _poly_accumulate_scratch(x_coord, n_knot, clamped, c_ref, seg_offs,
+                             want_deriv):
+    """_poly_accumulate reading precomputed coefficient planes from the
+    VMEM scratch instead of issuing MXU lookups (see _fill_C_scratch)."""
+    n = n_knot
+    lo, hi = 1.0, float(n - 2)
+    xc = jnp.clip(x_coord, lo, hi)
+    i = jnp.clip(jnp.floor(xc).astype(jnp.int32), 1, n - 3)
+    t = xc - i.astype(xc.dtype)
+
+    n_int = n - 3
+    sels = [i == (iv + 1) for iv in range(n_int)]
+    nseg = len(seg_offs)
+    Q = [[jnp.zeros_like(x_coord) for _ in range(4)] for _ in range(nseg)]
+    for si, off in enumerate(seg_offs):
+        for d in range(4):
+            for iv in range(n_int):
+                C = c_ref[off + iv * 4 + d]
+                if x_coord.ndim == 3:
+                    C = C[None]
+                Q[si][d] = jnp.where(sels[iv], C, Q[si][d])
+
+    vals, ders = [], []
+    for si in range(nseg):
+        q0, q1, q2, q3 = Q[si]
+        vals.append(((q3 * t + q2) * t + q1) * t + q0)
+        if want_deriv:
+            dv = (3.0 * q3 * t + 2.0 * q2) * t + q1
+            if clamped:
+                dv = jnp.where((x_coord <= lo) | (x_coord >= hi), 0.0, dv)
+            ders.append(dv)
+        else:
+            ders.append(None)
+    return vals, ders
+
+
 def _pad_distance_knots(table, ka, k, k_max):
     """Pad the wide/narrow distance segments from k to k_max knots by edge
     replication (exact below the family's own cutoff, see above)."""
@@ -938,71 +991,91 @@ def _pad_distance_knots(table, ka, k, k_max):
 
 def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
                       x1_ref, x2t_ref, oh1_ref, t2t_ref, mask_ref,
-                      cs_ref, grid_ref):
+                      cs_ref, grid_ref, c_ref):
+    # grid (n_j, n_it, n_rb): the replica-block dimension is INNERMOST so
+    # the per-(i, j)-tile poly-coefficient planes — the MXU table lookup,
+    # which is replica-independent — are computed ONCE into VMEM scratch
+    # (at r == 0) and reused by every replica block, and the parameter
+    # slab stays HBM-resident for a whole j sweep.  Column sums land in
+    # per-i-tile partials (one small XLA reduction) because the cs block
+    # is revisited non-consecutively in this order.
     inv_dtheta = (ka - 3) / 2.0
-    it = pl.program_id(2)
+    it = pl.program_id(1)
+    r = pl.program_id(2)
     alive = jnp.any(mask_ref[:, :] > 0)
 
-    @pl.when(it == 0)
+    @pl.when(alive & (r == 0))
     def _():
-        cs_ref[:, :, :] = jnp.zeros_like(cs_ref)
+        _fill_C_scratch(_make_get_C(oh1_ref, t2t_ref, A), ka, k, c_ref)
 
     @pl.when(jnp.logical_not(alive))
     def _():
         grid_ref[:, :, :] = jnp.zeros_like(grid_ref)
+        cs_ref[0] = jnp.zeros_like(cs_ref[0])
 
     @pl.when(alive)
     def _():
         _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
-        get_C = _make_get_C(oh1_ref, t2t_ref, A)
         o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
         s = dist * inv_dx
-        (a1,), _ = _poly_accumulate((cos1 + 1.0) * inv_dtheta + 1.0, ka,
-                                    False, get_C, (o_a1,), False)
-        (a2,), _ = _poly_accumulate((cos2 + 1.0) * inv_dtheta + 1.0, ka,
-                                    False, get_C, (o_a2,), False)
-        (wide, narrow), _ = _poly_accumulate(s, k, True, get_C,
-                                             (o_w, o_n), False)
+        (a1,), _ = _poly_accumulate_scratch(
+            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a1,),
+            False)
+        (a2,), _ = _poly_accumulate_scratch(
+            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a2,),
+            False)
+        (wide, narrow), _ = _poly_accumulate_scratch(
+            s, k, True, c_ref, (o_w, o_n), False)
         kcut = jnp.where(it >= IT0, kcut_pair, kcut_cov)
         live = (mask_ref[:, :] > 0)[None] & (s < kcut)
         val = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
         grid_ref[:, :, :] = val
         w6 = x1_ref[:, :, 6:7]
         w7 = x1_ref[:, :, 7:8]
-        cs_ref[:, 0:1, :] = cs_ref[:, 0:1, :] + jnp.sum(w6 * val, 1,
-                                                        keepdims=True)
-        cs_ref[:, 1:2, :] = cs_ref[:, 1:2, :] + jnp.sum(w7 * val, 1,
-                                                        keepdims=True)
+        rb = val.shape[0]
+        cs_ref[0] = jnp.concatenate(
+            [jnp.sum(w6 * val, 1, keepdims=True),
+             jnp.sum(w7 * val, 1, keepdims=True),
+             jnp.zeros((rb, 6, val.shape[2]), val.dtype)], axis=1)
 
 
 def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
                       x1_ref, x2t_ref, oh1_ref, t2t_ref, mask_ref,
-                      gcs_ref, ggrid_ref, d1_ref, d2_ref):
+                      gcs_ref, ggrid_ref, d1_ref, d2_ref, c_ref):
+    # grid (n_j, n_it, n_rb): same layout as the forward kernel — the
+    # per-(i, j)-tile poly-coefficient planes are computed once into VMEM
+    # scratch at r == 0 and shared across all replica blocks, and the
+    # parameter slab stays resident for a whole j sweep.  Both cotangent
+    # outputs land in partial blocks (d1 per j, d2 per i) summed by small
+    # XLA reductions.
     inv_dtheta = (ka - 3) / 2.0
     i = pl.program_id(1)
-    j = pl.program_id(2)
+    r = pl.program_id(2)
     alive = jnp.any(mask_ref[:, :] > 0)
+
+    @pl.when(alive & (r == 0))
+    def _():
+        _fill_C_scratch(_make_get_C(oh1_ref, t2t_ref, A), ka, k, c_ref)
 
     @pl.when(jnp.logical_not(alive))
     def _():
-        @pl.when(j == 0)
-        def _():
-            d1_ref[:, :, :] = jnp.zeros_like(d1_ref)
-        d2_ref[0, :, :, :] = jnp.zeros_like(d2_ref[0])
+        d1_ref[0] = jnp.zeros_like(d1_ref[0])
+        d2_ref[0] = jnp.zeros_like(d2_ref[0])
 
     @pl.when(alive)
     def _():
         dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
             x1_ref, x2t_ref)
-        get_C = _make_get_C(oh1_ref, t2t_ref, A)
         o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
         s = dist * inv_dx
-        (a1,), (da1,) = _poly_accumulate(
-            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a1,), True)
-        (a2,), (da2,) = _poly_accumulate(
-            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, get_C, (o_a2,), True)
-        (wide, narrow), (dwide, dnarrow) = _poly_accumulate(
-            s, k, True, get_C, (o_w, o_n), True)
+        (a1,), (da1,) = _poly_accumulate_scratch(
+            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a1,),
+            True)
+        (a2,), (da2,) = _poly_accumulate_scratch(
+            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a2,),
+            True)
+        (wide, narrow), (dwide, dnarrow) = _poly_accumulate_scratch(
+            s, k, True, c_ref, (o_w, o_n), True)
 
         kcut = jnp.where(i >= IT0, kcut_pair, kcut_cov)
         live = (mask_ref[:, :] > 0)[None] & (s < kcut)
@@ -1040,15 +1113,7 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
             cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
         cols.append(dw6)
         cols.append(dw7)
-        block = jnp.concatenate(cols, axis=2)          # (RB, TI, 8)
-
-        @pl.when(j == 0)
-        def _():
-            d1_ref[:, :, :] = block
-
-        @pl.when(j > 0)
-        def _():
-            d1_ref[:, :, :] = d1_ref[:, :, :] + block
+        d1_ref[0] = jnp.concatenate(cols, axis=2)      # (1, RB, TI, 8)
 
         rows = []
         for arr, sgn in ((gx, 1.0), (gy, 1.0), (gz, 1.0),
@@ -1056,7 +1121,7 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
             rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
         rows.append(jnp.zeros_like(rows[0]))
         rows.append(jnp.zeros_like(rows[0]))
-        d2_ref[0, :, :, :] = jnp.concatenate(rows, axis=1)  # (1, RB, 8, TJ)
+        d2_ref[0] = jnp.concatenate(rows, axis=1)      # (1, RB, 8, TJ)
 
 
 def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks):
@@ -1146,36 +1211,44 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
     x2t, _ = _pad_reps(x2t, rb)
     n_it = N1P // TILE
     n_it_pair = n_it - IT0
-    cs, grid = pl.pallas_call(
+    R = n_rb * rb
+    cs_part, grid = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, ka, k, inv_dx, A_tot, IT0,
                           kcc, kcp),
-        grid=(n_rb, n2p // TILE, n_it),
+        grid=(n2p // TILE, n_it, n_rb),
         in_specs=[
-            pl.BlockSpec((rb, TILE, 8), lambda r, j, i: (r, i, 0),
+            pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda r, j, i: (r, 0, j),
+            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, A_tot), lambda r, j, i: (i, 0),
+            pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda r, j, i: (0, j),
+            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, TILE), lambda r, j, i: (i, j),
+            pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((rb, 8, TILE), lambda r, j, i: (r, 0, j),
+            pl.BlockSpec((1, rb, 8, TILE), lambda j, i, r: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, TILE, TILE),
-                         lambda r, j, i: (r, jnp.maximum(i - IT0, 0), j),
+                         lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_rb * rb, 8, n2p), jnp.float32),
-            jax.ShapeDtypeStruct((n_rb * rb, n_it_pair * TILE, n2p),
+            jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
+            jax.ShapeDtypeStruct((R, n_it_pair * TILE, n2p),
                                  jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((Mp, TILE, TILE), jnp.float32)],
+        # the coefficient-plane scratch alone is Mp*64KB (~13 MB for the
+        # shipped families) — above the conservative 16 MB default scoped
+        # limit but well within v5e's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x1cat, x2t, oh1, t2t, maskcat)
+    cs = jnp.sum(cs_part, axis=0)                        # (R, 8, n2p)
     cov1 = cs[:n_rep, 0, :n2].astype(xb.dtype)
     cov2 = cs[:n_rep, 1, :n2].astype(xb.dtype)
     return cov1, cov2, grid[:n_rep, :n2, :n2].astype(xb.dtype)
@@ -1203,39 +1276,44 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
                     ((0, R - n_rep), (0, (N1P - N1C) - n2), (0, n2p - n2)))
 
     n_it = N1P // TILE
-    d1, d2_part = pl.pallas_call(
+    n_j = n2p // TILE
+    d1_part, d2_part = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, ka, k, inv_dx, A_tot, IT0,
                           kcc, kcp),
-        grid=(n_rb, n_it, n2p // TILE),
+        grid=(n_j, n_it, n_rb),
         in_specs=[
-            pl.BlockSpec((rb, TILE, 8), lambda r, i, j: (r, i, 0),
+            pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda r, i, j: (r, 0, j),
+            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, A_tot), lambda r, i, j: (i, 0),
+            pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda r, i, j: (0, j),
+            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, TILE), lambda r, i, j: (i, j),
+            pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda r, i, j: (r, 0, j),
+            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, TILE, TILE),
-                         lambda r, i, j: (r, jnp.maximum(i - IT0, 0), j),
+                         lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((rb, TILE, 8), lambda r, i, j: (r, i, 0),
+            pl.BlockSpec((1, rb, TILE, 8), lambda j, i, r: (j, r, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, 8, TILE), lambda r, i, j: (i, r, 0, j),
+            pl.BlockSpec((1, rb, 8, TILE), lambda j, i, r: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R, N1P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_j, R, N1P, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((Mp, TILE, TILE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x1cat, x2t, oh1, t2t, maskcat, gcs, ggrid)
+    d1 = jnp.sum(d1_part, axis=0)                        # (R, N1P, 8)
     d2 = jnp.swapaxes(jnp.sum(d2_part, axis=0), 1, 2)    # (R, n2p, 8)
     dxa = d1[:n_rep, :n_a]
     dxb = d1[:n_rep, n_a:N1]
