@@ -20,5 +20,22 @@ Package layout
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # Honor an explicit CPU request even when the environment's
+    # sitecustomize pre-registered a remote accelerator PJRT plugin that
+    # force-overrides jax_platforms: a CPU-only subprocess (tests, config
+    # tools) must never block on a remote-device handshake.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _xb._backend_factories.pop("axon", None)
+    except Exception:  # pragma: no cover - jax internals moved
+        pass
+
 from . import nodes  # noqa: F401  (populates the node registry)
 from .system import System, build_system  # noqa: F401
