@@ -133,7 +133,7 @@ def test_replica_exchange_equal_temperature_always_swaps(rng):
     beta = jnp.ones(n_rep)
     rex = ReplicaExchange(even_odd_swap_sets(n_rep), n_rep)
     energy_of = jax.vmap(lambda p: sys.energy(p, params))
-    new_pos, idx, stats = rex.attempt_swaps(
+    new_pos, idx, stats, _ = rex.attempt_swaps(
         jax.random.PRNGKey(0), pos, jnp.arange(n_rep), beta, energy_of)
     # equal temperatures: Delta=0 => all swaps accepted
     for s in stats:
@@ -150,12 +150,46 @@ def test_replica_exchange_preserves_configurations(rng):
     beta = jnp.asarray([2.0, 1.5, 1.0, 0.5])
     rex = ReplicaExchange(parse_swap_sets(["0-1,2-3", "1-2"], n_rep), n_rep)
     energy_of = jax.vmap(lambda p: sys.energy(p, params))
-    new_pos, idx, _ = rex.attempt_swaps(
-        jax.random.PRNGKey(3), pos, jnp.arange(n_rep), beta, energy_of)
+    new_pos, idx, _, _ = rex.attempt_swaps(
+        jax.random.PRNGKey(3), pos, jnp.arange(n_rep), beta, energy_of,
+        slot_independent=True)
     # configurations are permuted, never altered
     old = {tuple(np.round(np.asarray(p).ravel(), 6)) for p in pos}
     new = {tuple(np.round(np.asarray(p).ravel(), 6)) for p in new_pos}
     assert old == new
+
+
+def test_replica_exchange_energy_carry_paths_agree(rng):
+    """Carrying energies through swap sets (and permuting them for pure
+    temperature exchange) is exact: all three evaluation modes produce the
+    same swaps, indices, and final energies."""
+    n_rep, n_atom = 6, 5
+    sys = harmonic_system(n_atom)
+    params = sys.make_params()
+    pos = jnp.asarray(rng.normal(size=(n_rep, n_atom, 3)))
+    beta = jnp.asarray(1.0 / (0.8 + 0.1 * np.arange(n_rep)))
+    rex = ReplicaExchange(even_odd_swap_sets(n_rep), n_rep)
+    energy_of = jax.vmap(lambda p: sys.energy(p, params))
+    key = jax.random.PRNGKey(11)
+    idx0 = jnp.arange(n_rep)
+
+    outs = [
+        rex.attempt_swaps(key, pos, idx0, beta, energy_of),
+        rex.attempt_swaps(key, pos, idx0, beta, energy_of,
+                          slot_independent=True),
+        rex.attempt_swaps(key, pos, idx0, beta, energy_of,
+                          energies=energy_of(pos), slot_independent=True),
+    ]
+    ref_pos, ref_idx, ref_stats, ref_en = outs[0]
+    np.testing.assert_allclose(np.asarray(ref_en),
+                               np.asarray(energy_of(ref_pos)), rtol=1e-12)
+    for new_pos, idx, stats, en in outs[1:]:
+        np.testing.assert_allclose(np.asarray(new_pos), np.asarray(ref_pos))
+        assert np.asarray(idx).tolist() == np.asarray(ref_idx).tolist()
+        for s, rs in zip(stats, ref_stats):
+            assert np.asarray(s).tolist() == np.asarray(rs).tolist()
+        np.testing.assert_allclose(np.asarray(en), np.asarray(ref_en),
+                                   rtol=1e-12)
 
 
 def test_parse_swap_sets_rejects_overlap():

@@ -122,8 +122,9 @@ def test_sharded_full_forcefield_rex_and_training(rng):
     rex = ReplicaExchange(even_odd_swap_sets(n_rep), n_rep)
     energy_of = jax.jit(jax.vmap(lambda p: system.energy(p, params)))
     beta = jnp.asarray(1.0 / temps)
-    new_pos, idx, stats = rex.attempt_swaps(
-        jax.random.PRNGKey(1), posb, jnp.arange(n_rep), beta, energy_of)
+    new_pos, idx, stats, _ = rex.attempt_swaps(
+        jax.random.PRNGKey(1), posb, jnp.arange(n_rep), beta, energy_of,
+        slot_independent=True)
     assert np.all(np.isfinite(np.asarray(new_pos)))
     assert sorted(np.asarray(idx).tolist()) == list(range(n_rep))
 

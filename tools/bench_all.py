@@ -67,7 +67,9 @@ def md_steps_per_sec(system, params, pos, n_replica, n_rounds=20,
 def rex_steps_per_sec(system, params, pos, n_replica=64, n_rounds_total=60,
                       rex_every=10):
     """End-to-end temperature replica exchange: MD rounds + swap rounds
-    (energies recomputed per swap set) included in the timing."""
+    (one ensemble energy evaluation per exchange round; swapped-state
+    energies are exact permutations for temperature-only exchange)
+    included in the timing."""
     sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
                      do_recenter=False)
     temps = 0.80 * (1.02 ** np.arange(n_replica))
@@ -85,8 +87,9 @@ def rex_steps_per_sec(system, params, pos, n_replica=64, n_rounds_total=60,
         for _ in range(n_rounds_total // rex_every):
             state[0] = sim.advance(state[0], params, rex_every, True)
             key = stream_key(1234, REPLICA_EXCHANGE_STREAM, round_done[0])
-            new_pos, ridx[0], stats[0] = rex.attempt_swaps(
-                key, state[0].pos, ridx[0], beta, energy_of, stats[0])
+            new_pos, ridx[0], stats[0], _ = rex.attempt_swaps(
+                key, state[0].pos, ridx[0], beta, energy_of, stats[0],
+                slot_independent=True)
             state[0] = state[0]._replace(pos=new_pos)
             round_done[0] += rex_every
 

@@ -280,8 +280,9 @@ def main(argv=None):
 
         if replica_interval and done % replica_interval == 0 and rex:
             key = stream_key(args.seed, REPLICA_EXCHANGE_STREAM, done)
-            new_pos, replica_index, rex_stats = rex.attempt_swaps(
-                key, state.pos, replica_index, beta, energy_of, rex_stats)
+            new_pos, replica_index, rex_stats, _ = rex.attempt_swaps(
+                key, state.pos, replica_index, beta, energy_of, rex_stats,
+                slot_independent=not hamiltonian)
             state = state._replace(pos=new_pos)
 
     elapsed = time.time() - t_start

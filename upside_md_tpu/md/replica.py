@@ -2,10 +2,14 @@
 
 The reference swaps position arrays between OpenMP-thread systems; here the
 replica ensemble is one batched array and a swap set becomes a gather plus
-a masked select.  Energies are recomputed per swap set (required for
-Hamiltonian exchange, where each replica slot carries its own parameters).
-On a multi-chip mesh the same code runs under shard_map and the gathers
-lower to ICI collective permutes.
+a masked select.  Energies are evaluated once per exchange round and
+carried exactly through the swap sets (the post-swap energy of every slot
+is one of the two values the Metropolis test already computed); pure
+temperature exchange needs no evaluation at all when the caller passes the
+energies it already has, since swapping configurations only permutes them.
+Hamiltonian exchange (per-slot parameters) evaluates the swapped
+configurations once per set.  On a multi-chip mesh the same code runs
+under shard_map and the gathers lower to ICI collective permutes.
 """
 
 from __future__ import annotations
@@ -55,23 +59,40 @@ class ReplicaExchange:
         return perms
 
     def attempt_swaps(self, key, pos, replica_index, beta, energy_of_pos,
-                      stats=None):
+                      stats=None, energies=None, slot_independent=False):
         """One exchange round over all swap sets.
 
         energy_of_pos: (n_rep, n_atom, 3) -> (n_rep,) energies, evaluated
         in each *slot's* Hamiltonian (vmapped energy with slot params).
-        Returns (pos, replica_index, stats) where stats accumulates
-        (n_success, n_attempt) per swap pair per set.
+        energies: optional (n_rep,) per-slot energies of `pos` (e.g. from
+        the preceding force evaluation) — skips the initial evaluation.
+        slot_independent: True for pure temperature exchange (every slot
+        shares one Hamiltonian); swapped-configuration energies are then a
+        permutation of the current ones and no re-evaluation happens at
+        all.  The reference recomputes energies per swap set
+        (main.cpp:251-274); carrying them forward is exact because the
+        post-swap energy of each slot is one of the two values already
+        evaluated for the Metropolis test.
+
+        Returns (pos, replica_index, stats, energies) where stats
+        accumulates (n_success, n_attempt) per swap pair per set and
+        energies are the per-slot energies of the returned positions.
         """
         if stats is None:
             stats = [jnp.zeros((len(p), 2), jnp.int32) for p in self.swap_sets]
+        if energies is None:
+            energies = energy_of_pos(pos)
         new_stats = []
         for si, (pairs, perm) in enumerate(
                 zip(self.swap_sets, self.permutations())):
             key, sub = jax.random.split(key)
-            old_lboltz = -beta * energy_of_pos(pos)
+            old_lboltz = -beta * energies
             swapped = pos[perm]
-            new_lboltz = -beta * energy_of_pos(swapped)
+            if slot_independent:
+                new_energies = energies[perm]
+            else:
+                new_energies = energy_of_pos(swapped)
+            new_lboltz = -beta * new_energies
 
             pa = np.array([p[0] for p in pairs])
             pb = np.array([p[1] for p in pairs])
@@ -85,11 +106,12 @@ class ReplicaExchange:
             accept_rep = accept_rep.at[pa].set(accept).at[pb].set(accept)
 
             pos = jnp.where(accept_rep[:, None, None], swapped, pos)
+            energies = jnp.where(accept_rep, new_energies, energies)
             replica_index = jnp.where(accept_rep, replica_index[perm],
                                       replica_index)
             new_stats.append(stats[si] + jnp.stack(
                 [accept.astype(jnp.int32), jnp.ones_like(pa, jnp.int32)], -1))
-        return pos, replica_index, new_stats
+        return pos, replica_index, new_stats, energies
 
 
 def even_odd_swap_sets(n_replica: int):
