@@ -166,6 +166,39 @@ def test_pairs_kernel_matches_xla(rng):
                                np.asarray(g_ref[1])[tri], atol=3e-4)
 
 
+def test_pairs_kernel_stacked_matches_unstacked(rng):
+    """The stacked-plane kernel computes the same sweeps and assembly as
+    the per-plane kernel (same operations, same reduction order) — values,
+    envelope gradients, and warm-start messages agree to roundoff."""
+    from upside_md_tpu.ops import pallas_bp
+    from upside_md_tpu.ops.pallas_bp import _bp_pairs_impl
+
+    E1, E_pair, S6, valid, res, rot, contact = make_bead_problem(rng)
+    S6j, S6Tj = jnp.asarray(S6), jnp.asarray(S6.T)
+
+    outs = {}
+    for stacked in (False, True):
+        outs[stacked] = _bp_pairs_impl(
+            E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
+            E1[None], E_pair[None], S6j, S6Tj, valid, None)
+    for a, b, name in zip(outs[False], outs[True],
+                          ("F", "G1", "dE", "nb", "eb")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=2e-5, err_msg=name)
+
+    # warm-start path too
+    _, _, _, nb0, eb0 = outs[True]
+    for stacked in (False, True):
+        outs[stacked] = _bp_pairs_impl(
+            E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
+            1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
+            (nb0, eb0))
+    for a, b, name in zip(outs[False], outs[True],
+                          ("F", "G1", "dE", "nb", "eb")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-5, atol=2e-5, err_msg=name)
+
+
 def test_pairs_kernel_vmapped_and_warm(rng):
     from upside_md_tpu.ops.pallas_bp import bp_bethe_pairs
 

@@ -14,6 +14,11 @@ Pieces:
   * full force evaluation (context)
 
 Usage: python tools/perf_loop.py [n_replica] [n_iters]
+         [--only=up,fused,bp,full]  [--prefix[=stride]]
+
+--prefix times cumulative topological prefixes of the non-fused node
+graph (energy+grad per prefix, in-loop); consecutive deltas attribute
+per-node cost below the ~28 ms dispatch floor.
 """
 
 import os
@@ -60,10 +65,16 @@ def loop_time(body, carry, n_iters, label):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = [a.split("=", 1)[1].split(",") for a in sys.argv[1:]
             if a.startswith("--only=")]
     only = set(only[0]) if only else {"up", "fused", "bp", "full"}
+    prefix = [a for a in sys.argv[1:] if a.startswith("--prefix")]
+    prefix_stride = 0
+    if prefix:
+        prefix_stride = int(prefix[0].split("=", 1)[1]) if "=" in prefix[0] \
+            else 1
+        only = set()
     n_rep = int(args[0]) if len(args) > 0 else 64
     n_iters = int(args[1]) if len(args) > 1 else 30
     system, params, pos, aux = build_full_system(seq=UBIQUITIN)
@@ -107,6 +118,47 @@ def main():
             if s.node_type.is_potential:
                 tot = tot + jnp.sum(out)
         return tot
+
+    # ---- 0. per-node attribution via cumulative prefixes ----------------
+    if prefix_stride:
+        nonfused = [s for s in system.specs
+                    if s.name not in plan.member_names]
+        cuts = list(range(prefix_stride, len(nonfused), prefix_stride))
+        if cuts[-1] != len(nonfused):
+            cuts.append(len(nonfused))
+
+        def make_body(k):
+            def prefix_loss(p):
+                outputs = {"pos": p}
+                extra = {"_cache_out": {}}
+                tot = 0.0
+                for s in nonfused[:k]:
+                    inputs = [outputs[a] for a in s.args]
+                    extra["_node_name"] = s.name
+                    out = s.node_type.compute(
+                        s.consts, params.get(s.name, {}), inputs, extra)
+                    outputs[s.name] = out
+                    if s.node_type.is_potential:
+                        tot = tot + jnp.sum(out)
+                    # keep every node live through fwd AND bwd
+                    tot = tot + 1e-6 * sum(
+                        jnp.sum(o) for o in jax.tree_util.tree_leaves(out))
+                return tot
+
+            eg = jax.vmap(jax.value_and_grad(prefix_loss))
+
+            def body(i, p):
+                _, g = eg(p + i * jiggle)
+                return p + 1e-6 * g
+            return body
+
+        prev = 0.0
+        for k in cuts:
+            t = loop_time(make_body(k), posb, n_iters,
+                          f"prefix .. {nonfused[k-1].name} [{k}]")
+            print(f"{'':48s}   delta {1e3*(t - prev):8.3f} ms")
+            prev = t
+        return
 
     # ---- 1. upstream energy+grad --------------------------------------
     if "up" in only:

@@ -31,6 +31,7 @@ one read and one write of the problem, independent of iteration count.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,50 @@ LANE = 128
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _make_onehot_dots(bf16):
+    """Exact f32 contractions against a bf16-exact one-hot operand.
+
+    The f32 dynamic operand is split into bf16 hi + lo halves and both
+    halves are contracted in ONE MXU issue: the one-hot side arrives
+    pre-duplicated along the contraction axis ([S | S]) and the hi/lo
+    halves are stacked along it ([hi; lo]), so (S|S)@(hi;lo) =
+    S@hi + S@lo reconstructs the f32 result to ~2^-24 with the MAC count
+    of two single-pass dots but a SINGLE instruction issue — profiling
+    showed issue overhead, not MACs, dominates these scatter-shaped
+    matmuls.  bf16=True slices the plain one-hot out of the duplicated
+    operand and contracts the hi half alone."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+
+    def hl_rows(dyn):
+        hi = dyn.astype(bf)
+        lo = (dyn - hi.astype(f32)).astype(bf)
+        return jnp.concatenate([hi, lo], axis=0)
+
+    def hl_cols(dyn):
+        hi = dyn.astype(bf)
+        lo = (dyn - hi.astype(f32)).astype(bf)
+        return jnp.concatenate([hi, lo], axis=1)
+
+    def onehot_dot_l(oh_dup, dyn):
+        """oh_dup (m, 2k) = [S | S]; dyn f32 (k, n) -> exact S @ dyn."""
+        if bf16:
+            return jax.lax.dot(oh_dup[:, :dyn.shape[0]], dyn.astype(bf),
+                               preferred_element_type=f32)
+        return jax.lax.dot(oh_dup, hl_rows(dyn),
+                           preferred_element_type=f32)
+
+    def onehot_dot_r(dyn, oh_stack):
+        """dyn f32 (m, k); oh_stack (2k, n) = [S; S] -> exact dyn @ S."""
+        if bf16:
+            return jax.lax.dot(dyn.astype(bf), oh_stack[:dyn.shape[1]],
+                               preferred_element_type=f32)
+        return jax.lax.dot(hl_cols(dyn), oh_stack,
+                           preferred_element_type=f32)
+
+    return onehot_dot_l, onehot_dot_r
 
 
 # --- shared in-kernel building blocks (used by both BP kernels) ------------
@@ -372,43 +417,9 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
          valid_ref, f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
 
     f32 = jnp.float32
-    bf = jnp.bfloat16
 
-    # Every contraction here has the EXACT-in-bf16 scatter one-hot on one
-    # side.  The f32 dynamic operand is split into bf16 hi + lo halves and
-    # both halves are contracted in ONE MXU issue: the one-hot side arrives
-    # pre-duplicated along the contraction axis ([S | S]) and the hi/lo
-    # halves are stacked along it ([hi; lo]), so (S|S)@(hi;lo) =
-    # S@hi + S@lo reconstructs the f32 result to ~2^-24 with the MAC count
-    # of two single-pass dots but a SINGLE instruction issue — the round-2
-    # profiling showed issue overhead, not MACs, dominates these
-    # scatter-shaped matmuls.  bf16=True slices the plain one-hot out of
-    # the duplicated operand and contracts the hi half alone.
-    def hl_rows(dyn):
-        hi = dyn.astype(bf)
-        lo = (dyn - hi.astype(f32)).astype(bf)
-        return jnp.concatenate([hi, lo], axis=0)
-
-    def hl_cols(dyn):
-        hi = dyn.astype(bf)
-        lo = (dyn - hi.astype(f32)).astype(bf)
-        return jnp.concatenate([hi, lo], axis=1)
-
-    def onehot_dot_l(oh_dup, dyn):
-        """oh_dup (m, 2k) = [S | S]; dyn f32 (k, n) -> exact S @ dyn."""
-        if bf16:
-            return jax.lax.dot(oh_dup[:, :dyn.shape[0]], dyn.astype(bf),
-                               preferred_element_type=f32)
-        return jax.lax.dot(oh_dup, hl_rows(dyn),
-                           preferred_element_type=f32)
-
-    def onehot_dot_r(dyn, oh_stack):
-        """dyn f32 (m, k); oh_stack (2k, n) = [S; S] -> exact dyn @ S."""
-        if bf16:
-            return jax.lax.dot(dyn.astype(bf), oh_stack[:dyn.shape[1]],
-                               preferred_element_type=f32)
-        return jax.lax.dot(hl_cols(dyn), oh_stack,
-                           preferred_element_type=f32)
+    # Exact-in-bf16 one-hot contractions (see _make_onehot_dots).
+    onehot_dot_l, onehot_dot_r = _make_onehot_dots(bf16)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
@@ -502,6 +513,213 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
     f_ref[0] = (jnp.sum(node_en) + jnp.sum(tadj * edge_en)).reshape(1, 1)
 
 
+# --- stacked-plane layout helpers (kernel-internal) ------------------------
+#
+# The stacked mega-kernel keeps the 36 (a,b) rotamer planes as ONE
+# (768, 768) array (row block a, column block b -- exactly u_all's layout)
+# and the 6 per-slot message/belief planes as (768, 128) / (768, 1) stacks.
+# Block algebra is expressed with 128-aligned slices, concatenations and
+# whole-array ops only, all of which lower cleanly in Mosaic.
+
+def _blocks_r(X):
+    n = X.shape[0] // LANE
+    return [X[k * LANE:(k + 1) * LANE] for k in range(n)]
+
+
+def _blocks_c(X):
+    n = X.shape[1] // LANE
+    return [X[:, k * LANE:(k + 1) * LANE] for k in range(n)]
+
+
+def _reduce(blocks, op):
+    acc = blocks[0]
+    for b in blocks[1:]:
+        acc = op(acc, b)
+    return acc
+
+
+def _tile_r(x, n=NROT):
+    return jnp.concatenate([x] * n, axis=0)
+
+
+def _tile_c(x, n=NROT):
+    return jnp.concatenate([x] * n, axis=1)
+
+
+def _t_tall(X):
+    """(k*128, 128) -> (128, k*128) via per-block (128, 128) transposes."""
+    return jnp.concatenate([b.T for b in _blocks_r(X)], axis=1)
+
+
+def _stack_cols(ref2d, n=NROT):
+    """(128, >=n) -> (n*128, 1): row a*128+i = ref2d[i, a]."""
+    return jnp.concatenate([ref2d[:, a:a + 1] for a in range(n)], axis=0)
+
+
+def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
+                             bf16, *refs):
+    """Stacked-plane variant of _bp_pairs_kernel (identical semantics).
+
+    The unstacked kernel issues ~100 separate (128, 128) VPU ops per BP
+    sweep (36 plane multiplies + 30 adds + per-slot glue); Mosaic issue
+    overhead, not element throughput, bounded it.  Here each sweep is a
+    handful of wide ops over the (768, 768) plane stack: one division,
+    one blockwise transpose, one tiled multiply, and two segmented block
+    reductions.  The Bethe edge assembly collapses the 36-plane loops the
+    same way, and the gradient stack G_all is built directly in the
+    layout the bead-space scatter dot consumes."""
+    if warm:
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, nb0_ref, eb0_ref,
+         f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+    else:
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+
+    f32 = jnp.float32
+    SL = NROT * LANE
+    onehot_dot_l, onehot_dot_r = _make_onehot_dots(bf16)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    live_row = (rows < R).astype(f32)
+    live = live_row * (cols < R).astype(f32)
+    triu = (rows < cols).astype(f32)
+    adjP = live * (rows != cols).astype(f32)
+    adjP_t = _tile_r(adjP)                            # (SL, 128)
+
+    # ---- stacked node prep ----------------------------------------------
+    valid_s = _stack_cols(valid_ref[:, :])            # (SL, 1)
+    e1_s = _stack_cols(e1_ref[0])
+    masked_s = jnp.where(valid_s > 0, e1_s, f32(1e30))
+    offset = _reduce(_blocks_r(masked_s), jnp.minimum)    # (128, 1)
+    probC_s = jnp.where(valid_s > 0, jnp.exp(_tile_r(offset) - e1_s), 0.0)
+
+    # ---- rot-slot scatter (as in _bp_pairs_kernel) -----------------------
+    E = ep_ref[0]
+    Es = E + E.T
+    h = onehot_dot_l(s6d2_ref[:, :], Es)              # (SL, NBP)
+    u_all = onehot_dot_r(h, s6t2_ref[:, :])           # (SL, SL), symmetric
+    # No validity masking needed: rot slots without beads scatter to u = 0
+    # (so P = 1, never inf), and every read of P below is multiplied by a
+    # belief/message factor that is exactly zero at invalid slots.
+    P_stack = jnp.exp(-u_all)
+
+    # ---- BP sweeps --------------------------------------------------------
+    def edge_update(nb_s, EB):
+        # VT[b][i, j] = nb[b][j] / eb[b][j, i] lives at W[i, b*128+j]
+        U = nb_s / (EPS + EB)                         # (SL, 128)
+        W = _t_tall(U)                                # (128, SL)
+        PROD = P_stack * _tile_r(W)                   # (SL, SL)
+        m = _reduce(_blocks_c(PROD), jnp.add) * valid_s   # (SL, 128)
+        norm = _reduce(_blocks_r(m), jnp.add)         # (128, 128)
+        rn = 1.0 / jnp.maximum(norm, EPS)
+        return jnp.where(adjP_t > 0, m * _tile_r(rn), 1.0)
+
+    def node_update(EB):
+        # max-centered log-message sums (see _make_updates for why)
+        LG = jnp.log(jnp.maximum(EB, 1e-30)) * adjP_t
+        sC = jnp.sum(LG, axis=1, keepdims=True)       # (SL, 1)
+        smax = _reduce(_blocks_r(sC), jnp.maximum)
+        nbC = probC_s * jnp.exp(sC - _tile_r(smax))
+        mx = _reduce(_blocks_r(nbC), jnp.maximum)
+        return nbC * _tile_r(1.0 / jnp.maximum(mx, EPS))
+
+    if warm:
+        nb_s = _stack_cols(nb0_ref[0])
+        EB = jnp.concatenate([eb0_ref[0, a] for a in range(NROT)], axis=0)
+    else:
+        EB = edge_update(probC_s, jnp.ones((SL, LANE), f32))
+        mx0 = _reduce(_blocks_r(probC_s), jnp.maximum)
+        nb_s = probC_s * _tile_r(1.0 / jnp.maximum(mx0, EPS))
+
+    def cond(state):
+        it, dev = state[0], state[1]
+        return jnp.logical_and(it < max_iter, dev > tol)
+
+    def body(state):
+        it, _, nb_s, EB = state
+        nb_prev = nb_s
+        for _ in range(chunk):
+            nb_prev = nb_s
+            EB = edge_update(nb_s, EB)
+            nb_new = node_update(EB)
+            nb_s = (1.0 - damping) * nb_new + damping * nb_s
+        return (it + chunk, jnp.max(jnp.abs(nb_s - nb_prev)), nb_s, EB)
+
+    state = (jnp.asarray(0, jnp.int32), f32(np.inf), nb_s, EB)
+    _, _, nb_s, EB = jax.lax.while_loop(cond, body, state)
+
+    tot = _reduce(_blocks_r(nb_s), jnp.add)
+    bC_s = nb_s * _tile_r(1.0 / jnp.maximum(tot, EPS))
+
+    nb_ref[0] = jnp.concatenate(_blocks_r(nb_s)
+                                + [jnp.zeros((LANE, 2), f32)], axis=1)
+    for a in range(NROT):
+        eb_ref[0, a] = EB[a * LANE:(a + 1) * LANE]
+
+    # ---- Bethe node term + envelope g1 (rotamer.cpp:292-302, 956-985) ----
+    live_col = live_row[:, 0:1]
+    q_s = probC_s / (EPS + probC_s)
+    node_en = offset * live_col + _reduce(_blocks_r(
+        jnp.where(valid_s > 0,
+                  bC_s * jnp.log((EPS + bC_s) / (EPS + probC_s)), 0.0)),
+        jnp.add)
+    sum_bq = _reduce(_blocks_r(jnp.where(valid_s > 0, bC_s * q_s, 0.0)),
+                     jnp.add)
+
+    validb = _blocks_r(valid_s)
+    maskedb = _blocks_r(masked_s)
+    bCb = _blocks_r(bC_s)
+    qb = _blocks_r(q_s)
+    taken = jnp.zeros((LANE, 1), f32)
+    g1_cols = []
+    for a in range(NROT):
+        is_min = jnp.where((validb[a] > 0) & (maskedb[a] <= offset)
+                           & (taken == 0), 1.0, 0.0)
+        taken = taken + is_min
+        g1_cols.append(jnp.where(validb[a] > 0,
+                                 bCb[a] * qb[a] + (1.0 - sum_bq) * is_min,
+                                 0.0) * live_col)
+    g1_ref[0] = jnp.concatenate(g1_cols + [jnp.zeros((LANE, 2), f32)],
+                                axis=1)
+
+    # ---- Bethe edge term (rotamer.cpp:431-451) ---------------------------
+    # mm = X * rmn with X[a*128+i, b*128+j] = P * bc1[a][i,j] * bc1[b][j,i];
+    # the entropy log factorizes (-logeb_a - logeb_b^T - logmn), and each
+    # factor's (a,b)-sum is a segmented block reduction of X against a
+    # stacked log plane -- no 36-plane loop.
+    BC1 = bC_s / (EPS + EB)                           # (SL, 128)
+    BC1T = _t_tall(BC1)                               # (128, SL)
+    X = P_stack * _tile_c(BC1) * _tile_r(BC1T)        # (SL, SL)
+    Xb = _reduce(_blocks_c(X), jnp.add)               # (SL, 128)
+    mnorm = _reduce(_blocks_r(Xb), jnp.add)           # (128, 128)
+    rmn = 1.0 / jnp.maximum(mnorm, EPS)
+    logmn = jnp.log(jnp.maximum(mnorm, EPS))
+    LEB = jnp.log(EPS + EB)                           # (SL, 128)
+    term1 = _reduce(_blocks_r(Xb * LEB), jnp.add)
+    Xa = _reduce(_blocks_r(X), jnp.add)               # (128, SL)
+    term2 = _reduce(_blocks_c(Xa * _t_tall(LEB)), jnp.add)
+    edge_en = -(term1 + term2 + mnorm * logmn) * rmn
+
+    # gradient planes in G_all layout, contracted straight to bead space
+    tadj = triu * adjP
+    C_c = _tile_c(tadj * rmn)                         # (128, SL)
+    bC_rowT = _t_tall(jnp.broadcast_to(bC_s, (SL, LANE)))   # (128, SL)
+    Pb = _blocks_r(P_stack)
+    Xrb = _blocks_r(X)
+    Gb = []
+    for a in range(NROT):
+        pbb = Pb[a] * bCb[a] * bC_rowT
+        Gb.append(Xrb[a] * (pbb / (EPS + pbb)) * C_c)
+    G_all = jnp.concatenate(Gb, axis=0)               # (SL, SL)
+    T1 = onehot_dot_l(s6td2_ref[:, :], G_all)         # (NBP, SL)
+    X2 = onehot_dot_r(T1, s6s2_ref[:, :])             # (NBP, NBP)
+
+    de_ref[0] = X2 + X2.T
+    f_ref[0] = (jnp.sum(node_en) + jnp.sum(tadj * edge_en)).reshape(1, 1)
+
+
 def _scatter_onehots(res, rot, nbp, dtype=np.float32):
     """Static bead -> (rot-slot, residue) scatter matrix S6: row a*128+ri is
     hot at bead columns with (rot, residue) == (a, ri).  Exact in bf16."""
@@ -513,7 +731,7 @@ def _scatter_onehots(res, rot, nbp, dtype=np.float32):
 
 
 def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
-                   E1, E_pair, S6, S6T, valid, init):
+                   stacked, E1, E_pair, S6, S6T, valid, init):
     """Pad and invoke the mega-kernel over a leading replica axis.
     E1 (b, R, 6), E_pair (b, nb, nb); S6/S6T/valid shared."""
     f32 = jnp.float32
@@ -565,8 +783,9 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
                                   lambda r: (r, 0, 0, 0),
                                   memory_space=pltpu.VMEM))
 
+    kernel = _bp_pairs_kernel_stacked if stacked else _bp_pairs_kernel
     F, G1, dE, nb, eb = pl.pallas_call(
-        functools.partial(_bp_pairs_kernel, R, NBP, damping, max_iter, tol,
+        functools.partial(kernel, R, NBP, damping, max_iter, tol,
                           chunk, warm, bf16),
         grid=(n_rep,),
         in_specs=rspec,
@@ -600,8 +819,14 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
             nb[:, :, :NROT], eb)
 
 
+def _stacked_default():
+    """Kernel-variant switch for A/B measurement (UPSIDE_BP_STACKED=0
+    selects the original per-plane kernel)."""
+    return os.environ.get("UPSIDE_BP_STACKED", "1") == "1"
+
+
 @functools.lru_cache(maxsize=None)
-def _pairs_dispatch(static, interpret, bf16, warm):
+def _pairs_dispatch(static, interpret, bf16, warm, stacked):
     """custom_vmap wrapper: a replica ensemble maps to the kernel's grid
     with the scatter one-hots and validity mask shared, not broadcast."""
     R, damping, max_iter, tol, chunk = static
@@ -610,7 +835,7 @@ def _pairs_dispatch(static, interpret, bf16, warm):
     def run(E1, E_pair, S6, S6T, valid, nb0, eb0):
         init = (nb0[None], eb0[None]) if warm else None
         F, G1, dE, nb, eb = _bp_pairs_impl(
-            R, damping, max_iter, tol, chunk, interpret, bf16,
+            R, damping, max_iter, tol, chunk, interpret, bf16, stacked,
             E1[None], E_pair[None], S6, S6T, valid, init)
         return F[0], G1[0], dE[0], nb[0], eb[0]
 
@@ -633,7 +858,7 @@ def _pairs_dispatch(static, interpret, bf16, warm):
         else:
             init = None
         out = _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret,
-                             bf16, E1, E_pair, S6, S6T, valid, init)
+                             bf16, stacked, E1, E_pair, S6, S6T, valid, init)
         return out, (True,) * 5
 
     return run
@@ -657,7 +882,8 @@ def bp_bethe_pairs(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
     warm = init is not None
     nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
-    F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm)(
+    F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
+                                        _stacked_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return F, nb, eb
 
@@ -667,7 +893,8 @@ def _bp_pairs_fwd(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
     warm = init is not None
     nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
-    F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm)(
+    F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
+                                        _stacked_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return (F, nb, eb), (G1, dE, jnp.zeros((0,), E1.dtype),
                          jnp.zeros((0,), E_pair.dtype))
