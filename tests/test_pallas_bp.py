@@ -177,26 +177,30 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     S6j, S6Tj = jnp.asarray(S6), jnp.asarray(S6.T)
 
     outs = {}
-    for stacked in (False, True):
+    for stacked in (0, 1, 2):
         outs[stacked] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
             E1[None], E_pair[None], S6j, S6Tj, valid, None)
-    for a, b, name in zip(outs[False], outs[True],
-                          ("F", "G1", "dE", "nb", "eb")):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=5e-5, atol=2e-5, err_msg=name)
+    for variant in (1, 2):
+        for a, b, name in zip(outs[0], outs[variant],
+                              ("F", "G1", "dE", "nb", "eb")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-5, atol=2e-5,
+                err_msg=f"{name} (variant {variant})")
 
     # warm-start path too
-    _, _, _, nb0, eb0 = outs[True]
-    for stacked in (False, True):
+    _, _, _, nb0, eb0 = outs[1]
+    for stacked in (0, 1, 2):
         outs[stacked] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
             1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
             (nb0, eb0))
-    for a, b, name in zip(outs[False], outs[True],
-                          ("F", "G1", "dE", "nb", "eb")):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=5e-5, atol=2e-5, err_msg=name)
+    for variant in (1, 2):
+        for a, b, name in zip(outs[0], outs[variant],
+                              ("F", "G1", "dE", "nb", "eb")):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-5, atol=2e-5,
+                err_msg=f"{name} (variant {variant})")
 
 
 def test_pairs_kernel_vmapped_and_warm(rng):

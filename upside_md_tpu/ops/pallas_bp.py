@@ -557,7 +557,7 @@ def _stack_cols(ref2d, n=NROT):
 
 
 def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
-                             bf16, *refs):
+                             bf16, stacked, *refs):
     """Stacked-plane variant of _bp_pairs_kernel (identical semantics).
 
     The unstacked kernel issues ~100 separate (128, 128) VPU ops per BP
@@ -606,15 +606,29 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     P_stack = jnp.exp(-u_all)
 
     # ---- BP sweeps --------------------------------------------------------
+    # bcast: express row-block tiling as a leading-dim reshape + broadcast
+    # multiply instead of a materialized concat copy.  The reshape only
+    # splits/merges the sublane axis at 128-aligned boundaries (the 2D
+    # layout is unchanged), but Mosaic support for it must be validated
+    # on-device, hence the flag (UPSIDE_BP_STACKED=2).
+    bcast = stacked == 2
+
+    def rowblock_mul(A, B):
+        """A (SL, n) * tile_r(B (128, n)) without materializing the tile."""
+        if bcast:
+            return (A.reshape(NROT, LANE, A.shape[1])
+                    * B[None]).reshape(SL, A.shape[1])
+        return A * _tile_r(B)
+
     def edge_update(nb_s, EB):
         # VT[b][i, j] = nb[b][j] / eb[b][j, i] lives at W[i, b*128+j]
         U = nb_s / (EPS + EB)                         # (SL, 128)
         W = _t_tall(U)                                # (128, SL)
-        PROD = P_stack * _tile_r(W)                   # (SL, SL)
+        PROD = rowblock_mul(P_stack, W)               # (SL, SL)
         m = _reduce(_blocks_c(PROD), jnp.add) * valid_s   # (SL, 128)
         norm = _reduce(_blocks_r(m), jnp.add)         # (128, 128)
         rn = 1.0 / jnp.maximum(norm, EPS)
-        return jnp.where(adjP_t > 0, m * _tile_r(rn), 1.0)
+        return jnp.where(adjP_t > 0, rowblock_mul(m, rn), 1.0)
 
     def node_update(EB):
         # max-centered log-message sums (see _make_updates for why)
@@ -783,10 +797,15 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
                                   lambda r: (r, 0, 0, 0),
                                   memory_space=pltpu.VMEM))
 
-    kernel = _bp_pairs_kernel_stacked if stacked else _bp_pairs_kernel
+    if stacked:
+        kernel = functools.partial(_bp_pairs_kernel_stacked, R, NBP,
+                                   damping, max_iter, tol, chunk, warm,
+                                   bf16, stacked)
+    else:
+        kernel = functools.partial(_bp_pairs_kernel, R, NBP, damping,
+                                   max_iter, tol, chunk, warm, bf16)
     F, G1, dE, nb, eb = pl.pallas_call(
-        functools.partial(kernel, R, NBP, damping, max_iter, tol,
-                          chunk, warm, bf16),
+        kernel,
         grid=(n_rep,),
         in_specs=rspec,
         out_specs=(
@@ -820,9 +839,10 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
 
 
 def _stacked_default():
-    """Kernel-variant switch for A/B measurement (UPSIDE_BP_STACKED=0
-    selects the original per-plane kernel)."""
-    return os.environ.get("UPSIDE_BP_STACKED", "1") == "1"
+    """Kernel-variant switch for on-device A/B measurement:
+    0 = original per-plane kernel, 1 = stacked (concat tiling),
+    2 = stacked with leading-dim broadcast tiling."""
+    return int(os.environ.get("UPSIDE_BP_STACKED", "1"))
 
 
 @functools.lru_cache(maxsize=None)
