@@ -192,6 +192,51 @@ def test_replica_exchange_energy_carry_paths_agree(rng):
                                    rtol=1e-12)
 
 
+def test_hamiltonian_selective_param_stacking(rng):
+    """A Hamiltonian ensemble advanced with only the differing leaves
+    stacked (stack_param_ensembles spec) matches the fully-stacked path
+    exactly, and the spec names only the varied leaf."""
+    from upside_md_tpu.md.sim import param_axes, stack_param_ensembles
+
+    n_rep, n_atom = 3, 5
+    sys = harmonic_system(n_atom)
+    base = sys.make_params()
+    per_slot = []
+    for i in range(n_rep):
+        p = jax.tree.map(lambda x: x, base)
+        p["atom_pos_spring"]["spring_const"] = \
+            base["atom_pos_spring"]["spring_const"] * (1.0 + 0.2 * i)
+        per_slot.append(p)
+
+    mixed, spec = stack_param_ensembles(per_slot)
+    assert spec == frozenset({"['atom_pos_spring']['spring_const']"})
+    assert mixed["atom_pos_spring"]["spring_const"].shape[0] == n_rep
+    assert mixed["atom_pos_spring"]["x0"].ndim == 2      # shared, unstacked
+
+    full = jax.tree.map(lambda *xs: jnp.stack(xs), *per_slot)
+    pos0 = 0.4 * rng.normal(size=(n_rep, n_atom, 3))
+    sim = Simulation(sys, dt=0.005, do_recenter=False)
+    s_mixed = sim.initial_state(pos0, mixed, seed=3, temperature=0.7,
+                                n_replica=n_rep)
+    s_full = sim.initial_state(pos0, full, seed=3, temperature=0.7,
+                               n_replica=n_rep)
+    out_mixed = sim.advance(s_mixed, mixed, 4, True, spec)
+    out_full = sim.advance(s_full, full, 4, True, True)
+    np.testing.assert_array_equal(np.asarray(out_mixed.pos),
+                                  np.asarray(out_full.pos))
+    np.testing.assert_array_equal(
+        np.asarray(sim.potential_energy(out_mixed, mixed, True, spec)),
+        np.asarray(sim.potential_energy(out_full, full, True, True)))
+
+    # vmapped energy with the axes tree matches per-slot evaluation
+    axes = param_axes(mixed, spec)
+    e_mixed = jax.vmap(sys.energy, in_axes=(0, axes))(out_mixed.pos, mixed)
+    e_ref = jnp.stack([sys.energy(out_mixed.pos[i], per_slot[i])
+                       for i in range(n_rep)])
+    np.testing.assert_allclose(np.asarray(e_mixed), np.asarray(e_ref),
+                               rtol=1e-6)
+
+
 def test_parse_swap_sets_rejects_overlap():
     import pytest
     with pytest.raises(ValueError):

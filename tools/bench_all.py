@@ -100,6 +100,65 @@ def rex_steps_per_sec(system, params, pos, n_replica=64, n_rounds_total=60,
     return 3 * n_rounds_total * n_replica / t, float(rate)
 
 
+def hamiltonian_rex_steps_per_sec(n_replica=64, n_rounds_total=60,
+                                  rex_every=10):
+    """BASELINE config 4 proper: 64-replica HAMILTONIAN replica exchange
+    on the 104-res cytochrome c, full forcefield.  Each slot carries its
+    own parameter pytree (a ±2%-per-slot ladder on the backbone spring
+    constants); only the varied leaf is stacked (stack_param_ensembles),
+    so the shared sidechain tables keep the batched kernel fast paths.
+    Swapped-configuration energies are re-evaluated per swap set (the
+    slots' Hamiltonians differ), exactly as the reference's per-system
+    engines do (main.cpp:251-274)."""
+    from upside_md_tpu.bench_systems import CYT_C
+    from upside_md_tpu.md.sim import param_axes, stack_param_ensembles
+
+    system, params, pos, _ = build_full_system(seq=CYT_C)
+    pos = jnp.asarray(pos)
+
+    spring_keys = [k for k in params if "spring" in k
+                   and "spring_const" in params[k]]
+    vary = spring_keys[0]
+    per_slot = []
+    for i in range(n_replica):
+        p = jax.tree.map(lambda x: x, params)
+        p[vary] = dict(p[vary])
+        p[vary]["spring_const"] = params[vary]["spring_const"] * \
+            (1.0 + 0.02 * (i / max(n_replica - 1, 1) - 0.5))
+        per_slot.append(p)
+    mixed, spec = stack_param_ensembles(per_slot)
+
+    sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
+                     do_recenter=False)
+    temps = 0.80 * (1.02 ** np.arange(n_replica))
+    state = [sim.initial_state(pos, mixed,
+                               seed=int(time.time()) % 100000,
+                               temperature=temps, n_replica=n_replica)]
+    rex = ReplicaExchange(even_odd_swap_sets(n_replica), n_replica)
+    axes = param_axes(mixed, spec)
+    energy_of = jax.jit(lambda pp: jax.vmap(
+        system.energy, in_axes=(0, axes))(pp, mixed))
+    beta = jnp.asarray(1.0 / temps, jnp.float32)
+    ridx = [jnp.arange(n_replica)]
+    stats = [None]
+    round_done = [0]
+
+    def chunk():
+        for _ in range(n_rounds_total // rex_every):
+            state[0] = sim.advance(state[0], mixed, rex_every, True, spec)
+            key = stream_key(1234, REPLICA_EXCHANGE_STREAM, round_done[0])
+            new_pos, ridx[0], stats[0], _ = rex.attempt_swaps(
+                key, state[0].pos, ridx[0], beta, energy_of, stats[0])
+            state[0] = state[0]._replace(pos=new_pos)
+            round_done[0] += rex_every
+
+    t = timed(chunk, lambda: float(jnp.sum(state[0].pos)))
+    acc = [np.asarray(s) for s in stats[0]]
+    rate = (sum(a[:, 0].sum() for a in acc)
+            / max(sum(a[:, 1].sum() for a in acc), 1))
+    return 3 * n_rounds_total * n_replica / t, float(rate)
+
+
 def chi1_latency():
     """Config 5: single energy eval + hbond_coverage sensitivity readout
     (the paper's evaluation-time metric)."""
@@ -153,6 +212,10 @@ def main():
 
     sps, acc = rex_steps_per_sec(sysu, pu, posu, 64)
     rows.append((f"full FF ubiquitin 64-replica T-rex incl. swaps "
+                 f"(acc {acc:.2f})", sps))
+
+    sps, acc = hamiltonian_rex_steps_per_sec(64)
+    rows.append((f"full FF 104-res cyt-c 64-replica H-rex incl. swaps "
                  f"(acc {acc:.2f})", sps))
 
     for name, v in rows:

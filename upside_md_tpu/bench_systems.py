@@ -25,6 +25,10 @@ TRP_CAGE = "NLYIQWLKDGGPSSGRPPPS"                       # 1L2Y, 20 res
 UBIQUITIN = ("MQIFVKTLTGKTITLEVEPSDTIENVKAKIQDKEGIPPDQ"
              "QRLIFAGKQLEDGRTLSDYNIQKESTLHLVLRLRGG")     # 1UBQ, 76 res
 PROTEIN_G = "MTYKLILNGKTLKGETTTEAVDAATAEKVFKQYANDNGVDGEWTYDDATKTFTVTE"
+# horse cytochrome c, 104 res — the "~100-res protein" of BASELINE
+# config 4 (64-replica Hamiltonian replica exchange)
+CYT_C = ("GDVEKGKKIFVQKCAQCHTVEKGGKHKTGPNLHGLFGRKTGQAPGFTYTDANKNKGITW"
+         "KEETLMEYLENPKKYIPGTKMIFAGIKKKTEREDLIAYLKKATNE")
 
 
 def have_reference_params():

@@ -106,9 +106,13 @@ def main(argv=None):
                    for x, y in zip(leaves_a, leaves_b))
 
     hamiltonian = any(not _params_equal(params0, ld[1]) for ld in loaded[1:])
+    ham_spec = False
     if hamiltonian:
-        params0 = _jax.tree.map(lambda *xs: jnp.stack(xs),
-                                *[ld[1] for ld in loaded])
+        # stack only the leaves that differ across slots: shared tables
+        # keep the pair kernels' batched fast paths (see
+        # md.sim.stack_param_ensembles)
+        from .md.sim import stack_param_ensembles
+        params0, ham_spec = stack_param_ensembles([ld[1] for ld in loaded])
 
     if args.set_param:
         import h5py
@@ -123,8 +127,8 @@ def main(argv=None):
                 eng.set_param(val, node_name)
             new_per_config.append(eng.params)
         if hamiltonian:
-            params0 = _jax.tree.map(lambda *xs: jnp.stack(xs),
-                                    *new_per_config)
+            from .md.sim import stack_param_ensembles
+            params0, ham_spec = stack_param_ensembles(new_per_config)
         else:
             params0 = new_per_config[0]
 
@@ -182,7 +186,7 @@ def main(argv=None):
     # per-slot parameters in Hamiltonian mode
     from .io.streams import make_frame_fn
     frame_fn, has_hbond = make_frame_fn(system, args.log_level,
-                                        params_batched=hamiltonian)
+                                        params_batched=ham_spec)
 
     # signal-safe shutdown (reference main.cpp:26-89, 610-674): finish the
     # current chunk, flush every logger, restore handlers, re-raise
@@ -201,7 +205,10 @@ def main(argv=None):
     replica_index = jnp.arange(n_sys)
     beta = jnp.asarray([1.0 / t for t in temps], jnp.float32)
     if hamiltonian:
-        energy_of = jax.jit(lambda pp: jax.vmap(system.energy)(pp, params0))
+        from .md.sim import param_axes
+        _p_ax = param_axes(params0, ham_spec)
+        energy_of = jax.jit(lambda pp: jax.vmap(
+            system.energy, in_axes=(0, _p_ax))(pp, params0))
     else:
         energy_of = jax.jit(jax.vmap(lambda p: system.energy(p, params0)))
     rex_stats = None
@@ -219,7 +226,7 @@ def main(argv=None):
             next_rep = ((done // replica_interval) + 1) * replica_interval
             target = min(target, next_rep)
         state = sim.advance(state, params0, target - done, True,
-                            hamiltonian)
+                            ham_spec)
         done = target
 
         if done % frame_rounds == 0 or done == n_round or stop_requested:

@@ -227,7 +227,8 @@ def make_frame_fn(system, level, params_batched=False):
     """One jitted per-frame evaluation over the replica ensemble: the graph
     runs ONCE per replica and yields (potential (R,), streams dict, hbond
     counts (R,)) — the reference evaluates the graph a single time per
-    frame too (main.cpp:630-655).  With params_batched=True every replica
+    frame too (main.cpp:630-655).  With params_batched truthy (True or a
+    stack_param_ensembles spec of stacked leaf paths) every replica
     slot is evaluated under its own parameter pytree (Hamiltonian replica
     exchange; the reference's per-system engines, main.cpp:456-495), so
     per-node streams for slot k are computed under slot k's Hamiltonian.
@@ -242,11 +243,11 @@ def make_frame_fn(system, level, params_batched=False):
         hb = n_hbond(system, outputs) if has_hb else jnp.asarray(0.0)
         return energy, streams, hb
 
-    in_axes = (0, 0 if params_batched else None, None)
-
     def frame_fn(pos_batch, params, extra=None):
-        return jax.vmap(one, in_axes=in_axes)(pos_batch, params,
-                                              extra or {})
+        from ..md.sim import param_axes
+        p_ax = param_axes(params, params_batched) if params_batched else None
+        return jax.vmap(one, in_axes=(0, p_ax, None))(pos_batch, params,
+                                                      extra or {})
 
     return jax.jit(frame_fn), has_hb
 

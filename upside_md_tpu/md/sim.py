@@ -27,6 +27,51 @@ from .thermostat import (JUMP_MOVE_STREAM, PIVOT_MOVE_STREAM,
                          thermalize)
 
 
+def stack_param_ensembles(param_list):
+    """Combine per-slot parameter pytrees for a Hamiltonian ensemble.
+
+    Only leaves that actually DIFFER across slots are stacked along a new
+    replica axis; identical leaves stay shared.  This matters for
+    performance, not just memory: the Pallas pair kernels batch replicas
+    through a kernel grid only when their tables/masks are unbatched, and
+    fall back to a sequential per-replica lax.map otherwise (see
+    ops/pallas_quadspline.py dispatch rules).  A Hamiltonian ladder that
+    varies, say, a spring constant must not push the untouched sidechain
+    tables onto that fallback.
+
+    Returns (params, spec): spec is a frozenset of jax.tree_util.keystr
+    key paths of the stacked leaves — hashable, so it can ride through
+    jit static arguments (Simulation.advance params_batched) — and
+    param_axes(params, spec) rebuilds the vmap in_axes tree."""
+    first = param_list[0]
+    paths = [jax.tree_util.keystr(kp) for kp, _ in
+             jax.tree_util.tree_flatten_with_path(first)[0]]
+    leaf_lists = list(zip(*[jax.tree_util.tree_leaves(p)
+                            for p in param_list]))
+    spec = frozenset(
+        path for path, leaves in zip(paths, leaf_lists)
+        if not all(np.array_equal(np.asarray(leaves[0]), np.asarray(x))
+                   for x in leaves[1:]))
+    treedef = jax.tree_util.tree_structure(first)
+    combined = jax.tree_util.tree_unflatten(treedef, [
+        jnp.stack(leaves) if path in spec else leaves[0]
+        for path, leaves in zip(paths, leaf_lists)])
+    return combined, spec
+
+
+def param_axes(params, spec):
+    """vmap in_axes pytree for params combined by stack_param_ensembles:
+    0 at stacked leaves, None at shared ones.  spec=True means fully
+    stacked (axis 0 everywhere); False/empty means fully shared."""
+    if spec is True:
+        return 0
+    if not spec:
+        return None
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, x: 0 if jax.tree_util.keystr(kp) in spec else None,
+        params)
+
+
 class SimState(NamedTuple):
     pos: jnp.ndarray            # (n_atom, 3) [+ leading replica axis]
     mom: jnp.ndarray
@@ -191,17 +236,21 @@ class Simulation:
     def advance(self, state, params, n_rounds, batched=False,
                 params_batched=False):
         """Run n_rounds rounds on device.  batched=True vmaps over the
-        leading replica axis of the state; params_batched=True additionally
+        leading replica axis of the state; params_batched additionally
         gives every replica slot its own parameter pytree (Hamiltonian
         replica exchange — the reference's per-system engines,
-        main.cpp:456-495)."""
+        main.cpp:456-495): True for fully stacked params, or a
+        stack_param_ensembles spec (frozenset of stacked leaf paths) so
+        shared tables keep their batched kernel fast paths."""
         base = (state.round_num[0] if batched else state.round_num)
 
         def body(i, st):
             nr = base + i    # unbatched scalar round number (see _one_round)
             if batched and params_batched:
+                axes = param_axes(params, params_batched)
                 return jax.vmap(
-                    lambda s, p: self._one_round(s, p, nr))(st, params)
+                    lambda s, p: self._one_round(s, p, nr),
+                    in_axes=(0, axes))(st, params)
             if batched:
                 return jax.vmap(
                     lambda s: self._one_round(s, params, nr))(st)
@@ -217,7 +266,10 @@ class Simulation:
     def potential_energy(self, state, params, batched=False,
                          params_batched=False):
         if batched and params_batched:
-            return jax.vmap(self.system.energy)(state.pos, params)
+            return jax.vmap(
+                self.system.energy,
+                in_axes=(0, param_axes(params, params_batched)))(
+                state.pos, params)
         f = lambda p: self.system.energy(p, params)  # noqa: E731
         return jax.vmap(f)(state.pos) if batched else f(state.pos)
 
