@@ -44,8 +44,41 @@ CPP_SINGLE_CORE_STEPS_PER_SEC_EST = 1000.0
 TARGET_MULTIPLE = 100.0
 
 
+def _tpu_tunnel_alive(max_wait):
+    """The remote-TPU tunnel can wedge server-side (a stale claim after a
+    killed client); ANY backend touch then hangs indefinitely, in every
+    process.  Probe liveness in subprocesses with hard timeouts and wait
+    up to max_wait seconds for recovery, so the caller can record an
+    honest failure instead of hanging the driver forever."""
+    import subprocess
+    deadline = time.time() + max_wait
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print("TPU tunnel unresponsive; retrying in 120 s", file=sys.stderr)
+        time.sleep(120)
+
+
 def main():
     n_replica = int(os.environ.get("BENCH_REPLICAS", "64"))
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
+        wait = float(os.environ.get("BENCH_TUNNEL_WAIT", "3600"))
+        if not _tpu_tunnel_alive(wait):
+            print(json.dumps({
+                "metric": "aggregate MD steps/sec, 76-res ubiquitin full FF",
+                "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+                "error": f"remote TPU tunnel unresponsive for {wait:.0f}s "
+                         "(wedged server-side claim); no measurement taken",
+            }))
+            return
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "20"))
     # a fresh seed per invocation: the execution path may record/replay
     # (executable, input) pairs, which would fake instant repeat timings
