@@ -234,8 +234,12 @@ def main():
     S6 = jnp.asarray(_scatter_onehots(consts["res"], consts["rot"], nbp))
     S6T = jnp.asarray(np.ascontiguousarray(
         _scatter_onehots(consts["res"], consts["rot"], nbp).T))
+    # --bp-zero: max_iter=0 skips the solve entirely (scatter dots +
+    # Bethe/gradient assembly + exp only) — separates solve cost from
+    # assembly cost
+    max_iter = 0 if "--bp-zero" in sys.argv else int(consts["max_iter"])
     static = (int(consts["n_res"]), float(consts["damping"]),
-              int(consts["max_iter"]), float(consts["tol"]), 2)
+              max_iter, float(consts["tol"]), 2)
 
     def bp_warm(e1, ep, nb0, eb0):
         return bp_bethe_pairs(static, False, False,
