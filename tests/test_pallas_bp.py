@@ -176,17 +176,28 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     E1, E_pair, S6, valid, res, rot, contact = make_bead_problem(rng)
     S6j, S6Tj = jnp.asarray(S6), jnp.asarray(S6.T)
 
+    def check(outs):
+        for variant in (1, 2):
+            for a, b, name in zip(outs[0], outs[variant],
+                                  ("F", "G1", "dE", "nb", "eb")):
+                a, b = np.asarray(a), np.asarray(b)
+                if name == "nb":     # cols 6/7 are solve diagnostics
+                    # iteration counts must agree exactly; the final
+                    # deviation only to float reorder
+                    np.testing.assert_array_equal(
+                        b[..., 7], a[..., 7],
+                        err_msg=f"iters (variant {variant})")
+                    a, b = a[..., :6], b[..., :6]
+                np.testing.assert_allclose(
+                    b, a, rtol=5e-5, atol=2e-5,
+                    err_msg=f"{name} (variant {variant})")
+
     outs = {}
     for stacked in (0, 1, 2):
         outs[stacked] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
             E1[None], E_pair[None], S6j, S6Tj, valid, None)
-    for variant in (1, 2):
-        for a, b, name in zip(outs[0], outs[variant],
-                              ("F", "G1", "dE", "nb", "eb")):
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=5e-5, atol=2e-5,
-                err_msg=f"{name} (variant {variant})")
+    check(outs)
 
     # warm-start path too
     _, _, _, nb0, eb0 = outs[1]
@@ -195,12 +206,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
             1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
             (nb0, eb0))
-    for variant in (1, 2):
-        for a, b, name in zip(outs[0], outs[variant],
-                              ("F", "G1", "dE", "nb", "eb")):
-            np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a), rtol=5e-5, atol=2e-5,
-                err_msg=f"{name} (variant {variant})")
+    check(outs)
 
 
 def test_pairs_kernel_vmapped_and_warm(rng):

@@ -251,6 +251,21 @@ def main(argv=None):
                 prev = last_mc_stats.get(mc_name, np.zeros_like(cur))
                 mc_streams[f"{mc_name}_stats"] = (cur - prev).astype(np.int32)
                 last_mc_stats[mc_name] = cur
+            # BP solve health from the threaded warm-start cache: the
+            # kernels write (final deviation, iteration count) into nb
+            # padding columns 6/7 (reference n_bad_solve,
+            # rotamer.cpp:657-659)
+            for cname, cval in (state.cache or {}).items():
+                if (isinstance(cval, tuple) and len(cval) == 2
+                        and getattr(cval[0], "ndim", 0) == 3
+                        and cval[0].shape[-1] >= 8):
+                    ctol = float(system.by_name[cname].consts.get(
+                        "tol", 1e-3))
+                    diag = np.asarray(cval[0][:, 0, 6:8])
+                    mc_streams[f"{cname}_n_bad_solve"] = \
+                        (diag[:, 0] > ctol).astype(np.int32)
+                    mc_streams[f"{cname}_solve_iters"] = \
+                        diag[:, 1].astype(np.int32)
             for ns, lg in enumerate(loggers):
                 lg.log_frame("pos", pos_np[ns][None])
                 lg.log_frame("kinetic", np.array([kin[ns]]))

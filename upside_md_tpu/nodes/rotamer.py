@@ -350,8 +350,10 @@ def _rot_init_cache(consts, params):
     valid = np.asarray(consts["valid"])
     if _use_pallas_bp(n_res):
         from ..ops.pallas_bp import LANE
-        nb0 = np.zeros((LANE, MAX_ROT), np.float32)
-        nb0[:n_res] = valid.astype(np.float32)
+        # 8 columns: 6 belief slots + the kernel's two solve-diagnostics
+        # columns (final deviation, iteration count)
+        nb0 = np.zeros((LANE, 8), np.float32)
+        nb0[:n_res, :MAX_ROT] = valid.astype(np.float32)
         eb0 = np.ones((MAX_ROT, LANE, LANE), np.float32)
         return (jnp.asarray(nb0), jnp.asarray(eb0))
     return (jnp.asarray(valid, jnp.float32),

@@ -180,13 +180,13 @@ def _solve_loop(damping, max_iter, tol, chunk, edge_update, node_update,
         return (it + chunk, jnp.max(dev), nb, eb)
 
     state = (jnp.asarray(0, jnp.int32), f32(np.inf), list(nb), list(eb))
-    _, _, nb, eb = jax.lax.while_loop(cond, body, state)
+    it, dev, nb, eb = jax.lax.while_loop(cond, body, state)
     tot = nb[0]
     for a in range(1, NROT):
         tot = tot + nb[a]
     rtot = 1.0 / jnp.maximum(tot, EPS)
     bC = [nb[a] * rtot for a in range(NROT)]
-    return nb, eb, bC
+    return nb, eb, bC, it, dev
 
 
 def _cold_start(probC, edge_update):
@@ -258,10 +258,15 @@ def _bp_kernel(R, damping, max_iter, tol, chunk, warm, *refs):
     else:
         nb, eb = _cold_start(probC, edge_update)
 
-    nb, eb, bC = _solve_loop(damping, max_iter, tol, chunk,
-                             edge_update, node_update, nb, eb)
+    nb, eb, bC, n_it, dev = _solve_loop(damping, max_iter, tol, chunk,
+                                        edge_update, node_update, nb, eb)
 
-    nb_ref[0] = jnp.concatenate(nb + [jnp.zeros((LANE, 2), f32)], axis=1)
+    # padding columns 6/7 carry solve diagnostics: the final per-sweep
+    # deviation and the iteration count (the reference's n_bad_solve
+    # signal, rotamer.cpp:657-659)
+    nb_ref[0] = jnp.concatenate(
+        nb + [jnp.full((LANE, 1), dev, f32),
+              jnp.full((LANE, 1), n_it.astype(f32))], axis=1)
     for a in range(NROT):
         eb_ref[0, a] = eb[a]
 
@@ -323,7 +328,8 @@ def _bp_impl(R, damping, max_iter, tol, chunk, interpret,
     if warm:
         nb0, eb0 = init
         operands.append(jnp.pad(nb0.astype(f32),
-                                ((0, LANE - nb0.shape[0]), (0, 2)))[None])
+                                ((0, LANE - nb0.shape[0]),
+                                 (0, 8 - nb0.shape[1])))[None])
         operands.append(eb0.astype(f32)[None])
 
     spec2 = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -341,8 +347,8 @@ def _bp_impl(R, damping, max_iter, tol, chunk, interpret,
         ),
         interpret=interpret,
     )(*operands)
-    return (F[0, 0], G1[0, :R, :NROT], G2[0, :, :R, :R],
-            nb[0, :, :NROT], eb[0])
+    # nb keeps its two diagnostics columns (final deviation, iterations)
+    return (F[0, 0], G1[0, :R, :NROT], G2[0, :, :R, :R], nb[0], eb[0])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -352,11 +358,13 @@ def bp_bethe_pallas(static, interpret, E1, E2planes, adj, valid, init):
     static: (R, damping, max_iter, tol, chunk) — compile-time constants.
     E1: (R, 6) one-body energies; E2planes: (36, R, R) pair energies in
     (a*6+b)-plane layout; adj: (R, R) bool edges; valid: (R, 6) bool;
-    init: None for the reference cold-start schedule, or (nb0 (128, 6),
+    init: None for the reference cold-start schedule, or (nb0 (128, 6..8),
     eb0 (6, 128, 128)) padded warm-start messages.
 
     Returns (F, nb_padded, eb_padded): the free energy plus converged
-    messages for warm-starting the next evaluation.  Gradients flow to E1
+    messages for warm-starting the next evaluation; nb's padding columns
+    6/7 carry (final solve deviation, iteration count) — the reference's
+    n_bad_solve observability signal (rotamer.cpp:657-659).  Gradients flow to E1
     and E2planes only, via the envelope theorem (reference
     rotamer.cpp:956-985) — the solve is never differentiated through.
     """
@@ -457,10 +465,13 @@ def _bp_pairs_kernel(R, NBP, damping, max_iter, tol, chunk, warm, bf16,
     else:
         nb, eb = _cold_start(probC, edge_update)
 
-    nb, eb, bC = _solve_loop(damping, max_iter, tol, chunk,
-                             edge_update, node_update, nb, eb)
+    nb, eb, bC, n_it, dev = _solve_loop(damping, max_iter, tol, chunk,
+                                        edge_update, node_update, nb, eb)
 
-    nb_ref[0] = jnp.concatenate(nb + [jnp.zeros((LANE, 2), f32)], axis=1)
+    # padding columns 6/7 carry solve diagnostics (see _bp_kernel)
+    nb_ref[0] = jnp.concatenate(
+        nb + [jnp.full((LANE, 1), dev, f32),
+              jnp.full((LANE, 1), n_it.astype(f32))], axis=1)
     for a in range(NROT):
         eb_ref[0, a] = eb[a]
 
@@ -662,13 +673,15 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
         return (it + chunk, jnp.max(jnp.abs(nb_s - nb_prev)), nb_s, EB)
 
     state = (jnp.asarray(0, jnp.int32), f32(np.inf), nb_s, EB)
-    _, _, nb_s, EB = jax.lax.while_loop(cond, body, state)
+    n_it, dev, nb_s, EB = jax.lax.while_loop(cond, body, state)
 
     tot = _reduce(_blocks_r(nb_s), jnp.add)
     bC_s = nb_s * _tile_r(1.0 / jnp.maximum(tot, EPS))
 
-    nb_ref[0] = jnp.concatenate(_blocks_r(nb_s)
-                                + [jnp.zeros((LANE, 2), f32)], axis=1)
+    # padding columns 6/7 carry solve diagnostics (see _bp_kernel)
+    nb_ref[0] = jnp.concatenate(
+        _blocks_r(nb_s) + [jnp.full((LANE, 1), dev, f32),
+                           jnp.full((LANE, 1), n_it.astype(f32))], axis=1)
     for a in range(NROT):
         eb_ref[0, a] = EB[a * LANE:(a + 1) * LANE]
 
@@ -771,7 +784,7 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
         nb0, eb0 = init
         operands.append(jnp.pad(nb0.astype(f32),
                                 ((0, 0), (0, LANE - nb0.shape[1]),
-                                 (0, 2)))[:, :, :8])
+                                 (0, 8 - nb0.shape[2]))))
         operands.append(eb0.astype(f32))
 
     rspec = [
@@ -834,8 +847,9 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
+    # nb keeps its two diagnostics columns (final deviation, iterations)
     return (F[:, 0, 0], G1[:, :R, :NROT], dE[:, :nb_count, :nb_count],
-            nb[:, :, :NROT], eb)
+            nb, eb)
 
 
 def _stacked_default():
