@@ -247,8 +247,13 @@ def fit_packed(system, loss_of_params, params, pack_names, n_steps=50,
 
     history = []
     theta = theta0
-    for _ in range(n_steps):
+    for i in range(n_steps):
         theta, opt_state, loss = step(theta, opt_state)
+        if not np.isfinite(float(loss)):
+            # reference training aborts on NaN energies
+            # (rotamer_parameter_estimation.py:198-201, 255-260)
+            raise FloatingPointError(
+                f"non-finite training loss at step {i}: {float(loss)}")
         history.append(float(loss))
     out = {k: dict(v) for k, v in params.items()}
     for k, pk in packs.items():
@@ -278,6 +283,11 @@ def fit(loss_fn, trainable, frozen, n_steps=100, learning_rate=1e-3,
     history = []
     for i in range(n_steps):
         trainable, opt_state, loss = step(trainable, opt_state)
+        if not np.isfinite(float(loss)):
+            # reference training aborts on NaN energies
+            # (rotamer_parameter_estimation.py:198-201, 255-260)
+            raise FloatingPointError(
+                f"non-finite training loss at step {i}: {float(loss)}")
         history.append(float(loss))
         if callback is not None:
             callback(i, trainable, float(loss))
