@@ -177,7 +177,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     S6j, S6Tj = jnp.asarray(S6), jnp.asarray(S6.T)
 
     def check(outs):
-        for variant in (1, 2):
+        for variant in (1, 2, 3):
             for a, b, name in zip(outs[0], outs[variant],
                                   ("F", "G1", "dE", "nb", "eb")):
                 a, b = np.asarray(a), np.asarray(b)
@@ -193,7 +193,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
                     err_msg=f"{name} (variant {variant})")
 
     outs = {}
-    for stacked in (0, 1, 2):
+    for stacked in (0, 1, 2, 3):
         outs[stacked] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
             E1[None], E_pair[None], S6j, S6Tj, valid, None)
@@ -201,7 +201,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
 
     # warm-start path too
     _, _, _, nb0, eb0 = outs[1]
-    for stacked in (0, 1, 2):
+    for stacked in (0, 1, 2, 3):
         outs[stacked] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
             1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,

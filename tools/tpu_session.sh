@@ -19,6 +19,7 @@ run() {
 run bp0 2400 UPSIDE_BP_STACKED=0 python tools/perf_loop.py 64 30 --only=bp
 run bp1 2400 UPSIDE_BP_STACKED=1 python tools/perf_loop.py 64 30 --only=bp
 run bp2 2400 UPSIDE_BP_STACKED=2 python tools/perf_loop.py 64 30 --only=bp
+run bp3 2400 UPSIDE_BP_STACKED=3 python tools/perf_loop.py 64 30 --only=bp
 # 1b. assembly-only (zero-sweep) cost of the two leading variants
 run bp0z 2400 UPSIDE_BP_STACKED=0 python tools/perf_loop.py 64 30 --only=bp --bp-zero
 run bp1z 2400 UPSIDE_BP_STACKED=1 python tools/perf_loop.py 64 30 --only=bp --bp-zero

@@ -621,8 +621,10 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     # multiply instead of a materialized concat copy.  The reshape only
     # splits/merges the sublane axis at 128-aligned boundaries (the 2D
     # layout is unchanged), but Mosaic support for it must be validated
-    # on-device, hence the flag (UPSIDE_BP_STACKED=2).
-    bcast = stacked == 2
+    # on-device, hence the flag (UPSIDE_BP_STACKED=2; =3 additionally uses
+    # one whole-array transpose per sweep instead of 6 block transposes).
+    bcast = stacked >= 2
+    t_tall = (lambda X: X.T) if stacked >= 3 else _t_tall
 
     def rowblock_mul(A, B):
         """A (SL, n) * tile_r(B (128, n)) without materializing the tile."""
@@ -634,7 +636,7 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     def edge_update(nb_s, EB):
         # VT[b][i, j] = nb[b][j] / eb[b][j, i] lives at W[i, b*128+j]
         U = nb_s / (EPS + EB)                         # (SL, 128)
-        W = _t_tall(U)                                # (128, SL)
+        W = t_tall(U)                                 # (128, SL)
         PROD = rowblock_mul(P_stack, W)               # (SL, SL)
         m = _reduce(_blocks_c(PROD), jnp.add) * valid_s   # (SL, 128)
         norm = _reduce(_blocks_r(m), jnp.add)         # (128, 128)
@@ -717,7 +719,7 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     # factor's (a,b)-sum is a segmented block reduction of X against a
     # stacked log plane -- no 36-plane loop.
     BC1 = bC_s / (EPS + EB)                           # (SL, 128)
-    BC1T = _t_tall(BC1)                               # (128, SL)
+    BC1T = t_tall(BC1)                                # (128, SL)
     X = P_stack * _tile_c(BC1) * _tile_r(BC1T)        # (SL, SL)
     Xb = _reduce(_blocks_c(X), jnp.add)               # (SL, 128)
     mnorm = _reduce(_blocks_r(Xb), jnp.add)           # (128, 128)
@@ -726,13 +728,13 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     LEB = jnp.log(EPS + EB)                           # (SL, 128)
     term1 = _reduce(_blocks_r(Xb * LEB), jnp.add)
     Xa = _reduce(_blocks_r(X), jnp.add)               # (128, SL)
-    term2 = _reduce(_blocks_c(Xa * _t_tall(LEB)), jnp.add)
+    term2 = _reduce(_blocks_c(Xa * t_tall(LEB)), jnp.add)
     edge_en = -(term1 + term2 + mnorm * logmn) * rmn
 
     # gradient planes in G_all layout, contracted straight to bead space
     tadj = triu * adjP
     C_c = _tile_c(tadj * rmn)                         # (128, SL)
-    bC_rowT = _t_tall(jnp.broadcast_to(bC_s, (SL, LANE)))   # (128, SL)
+    bC_rowT = t_tall(jnp.broadcast_to(bC_s, (SL, LANE)))  # (128, SL)
     Pb = _blocks_r(P_stack)
     Xrb = _blocks_r(X)
     Gb = []
