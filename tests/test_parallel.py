@@ -107,6 +107,41 @@ def test_sharded_full_forcefield_advance(rng):
                                atol=1e-4)
 
 
+def test_sharded_hamiltonian_full_forcefield_advance(rng):
+    """BASELINE config 4's multi-chip shape: a full-FF HAMILTONIAN
+    ensemble (per-slot spring ladder, shared sidechain tables) advanced
+    over the 8-device mesh matches the unsharded path."""
+    from upside_md_tpu.md.sim import stack_param_ensembles
+    from upside_md_tpu.parallel.mesh import sharded_hamiltonian_advance
+
+    system, params, pos, aux = _full_ff_or_skip()
+    n_rep = 8
+    spring = [k for k in params if "spring_const" in params.get(k, {})][0]
+    per_slot = []
+    for i in range(n_rep):
+        p = {k: dict(v) for k, v in params.items()}
+        p[spring]["spring_const"] = params[spring]["spring_const"] * \
+            (1.0 + 0.01 * i)
+        per_slot.append(p)
+    mixed, spec = stack_param_ensembles(per_slot)
+    assert spec and all("spring_const" in s for s in spec)
+
+    sim = Simulation(system, dt=0.009, thermostat_interval=0.027,
+                     do_recenter=False)
+    state = sim.initial_state(pos, mixed, seed=5,
+                              temperature=0.8 + 0.02 * np.arange(n_rep),
+                              n_replica=n_rep)
+    mesh = make_replica_mesh(8)
+    advance, mixed_sharded = sharded_hamiltonian_advance(
+        sim, mesh, 3, mixed, spec)
+    out = advance(state)
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+
+    ref = sim.advance(state, mixed, 3, True, spec)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=1e-4)
+
+
 def test_sharded_full_forcefield_rex_and_training(rng):
     """Replica exchange collective + psum training step on the full
     forcefield over the mesh."""

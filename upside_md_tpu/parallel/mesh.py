@@ -52,6 +52,28 @@ def sharded_advance(sim, mesh, n_rounds, axis="replica"):
     return advance
 
 
+def sharded_hamiltonian_advance(sim, mesh, n_rounds, params, spec,
+                                axis="replica"):
+    """sharded_advance for a Hamiltonian ensemble (BASELINE config 4):
+    parameter leaves named in the stack_param_ensembles spec carry a
+    per-slot leading axis and are split over the replica mesh axis next to
+    the state; shared leaves (the large interaction tables) replicate, so
+    each chip holds one table copy and its local slots' scalars."""
+    from ..md.sim import param_axes  # noqa: F401  (spec documented there)
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    params = jax.tree_util.tree_map_with_path(
+        lambda kp, x: jax.device_put(
+            x, shard if jax.tree_util.keystr(kp) in spec else rep), params)
+    compiled = jax.jit(lambda s, p: sim.advance(s, p, n_rounds, True, spec))
+
+    def advance(state):
+        state = shard_replica_state(state, mesh, axis)
+        return compiled(state, params)
+
+    return advance, params
+
+
 def training_step(system, optimizer_update, axis="replica"):
     """One data-parallel force-matching/energy training step.
 
