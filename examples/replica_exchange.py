@@ -24,17 +24,23 @@ def main():
     p.add_argument('workdir')
     p.add_argument('--n-replica', type=int, default=8)
     p.add_argument('--duration', type=float, default=27.0)
+    p.add_argument('--hamiltonian', action='store_true',
+                   help='per-slot Hamiltonian ladder (hbond-energy scale) '
+                        'instead of identical configs; the CLI detects the '
+                        'differing parameters and evaluates each slot under '
+                        'its own Hamiltonian')
     args = p.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
     configs = []
     for i in range(args.n_replica):
         b = ConfigBuilder(f'>x\n{TRP_CAGE}\n', seed=1)
+        scale = 1.0 + (0.04 * i if args.hamiltonian else 0.0)
         b.add_backbone_springs()
         b.add_rama_map_pot(
             uniform_rama_maps_from_reference(b.n_res, RAMA_REF))
         b.add_backbone_pairs()
-        b.add_hbond(hbond_energy=-2.1119)
+        b.add_hbond(hbond_energy=-2.1119 * scale)
         configs.append(b.write(os.path.join(args.workdir, f'rep{i}.up')))
 
     temps = 0.80 * (1.06 ** np.arange(args.n_replica))
