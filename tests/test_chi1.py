@@ -19,6 +19,28 @@ SEQ3 = ['MET', 'LYS', 'VAL', 'LEU', 'PHE', 'GLU', 'GLY', 'ALA', 'ARG',
 
 
 @needs_params
+def test_chi1_cli(tmp_path):
+    """The predict_chi1 CLI writes the reference's column layout
+    (predict_chi1.py:118-130) and prints the evaluation-time metric."""
+    from upside_md_tpu.chi1 import main
+
+    coords = random_initial_config(len(SEQ3), seed=4)
+    pdb = tmp_path / "in.pdb"
+    pdb.write_text(synthetic_pdb(SEQ3, coords))
+    out = tmp_path / "out.chi"
+    main([str(pdb), SIDECHAIN, str(out)])
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].split() == [
+        "residue", "restype", "chain", "resnum", "chi1_prob0",
+        "chi1_prob1", "chi1_prob2", "chi1_from_input_file"]
+    assert len(lines) == len(SEQ3) + 1
+    for ln in lines[1:]:
+        cols = ln.split()
+        probs = [float(c) for c in cols[4:7]]
+        assert abs(sum(probs) - 1.0) < 2e-2
+
+
+@needs_params
 def test_chi1_predictor_partition():
     pred = Chi1Predict(SIDECHAIN)
     # every non-ALA/GLY restype has its rotamer states partitioned into

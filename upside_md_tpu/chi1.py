@@ -119,3 +119,47 @@ def predict_chi1_from_pdb(pdb_text, sidechain_param,
     predictor = Chi1Predict(sidechain_param)
     chi1_prob = predictor.predict_chi1(info['sequence'], residue, sens)
     return chi1_prob, info, elapsed
+
+
+def main(argv=None):
+    """predict_chi1 CLI (reference py/predict_chi1.py:60-130): reads a
+    PDB, evaluates the loose-hbond prediction config once, and writes the
+    per-residue chi1 rotamer-well probability table in the reference's
+    column layout, printing the paper's evaluation-time metric."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="predict_chi1",
+        description="chi1 rotamer-state prediction from a PDB structure")
+    p.add_argument("pdb_input")
+    p.add_argument("sidechain_param", help="sidechain parameter .h5")
+    p.add_argument("chi_output", help="output table path")
+    p.add_argument("--chains", default=None,
+                   help="comma-separated chain ids to include")
+    args = p.parse_args(argv)
+
+    chains = args.chains.split(",") if args.chains else None
+    with open(args.pdb_input) as f:
+        pdb_text = f.read()
+    chi1_prob, info, elapsed = predict_chi1_from_pdb(
+        pdb_text, args.sidechain_param, chains=chains)
+
+    seq = info["sequence"]
+    print("Time to compute %.5f seconds for %i residues"
+          % (elapsed, len(seq)))
+    chi_true = np.asarray(info["chi"])
+    chain_resnum = info["chain_resnum"]
+    with open(args.chi_output, "w") as f:
+        f.write("residue restype chain resnum chi1_prob0 chi1_prob1 "
+                "chi1_prob2 chi1_from_input_file\n")
+        for i in range(len(seq)):
+            chain, resnum = chain_resnum[i]
+            f.write("%i %s %s %s %.4f %.4f %.4f %.1f\n" % (
+                i, ("PRO" if seq[i] == "CPR" else seq[i]), chain, resnum,
+                chi1_prob[i, 0], chi1_prob[i, 1], chi1_prob[i, 2],
+                chi_true[i, 0] / deg if np.isfinite(chi_true[i, 0])
+                else -1.0))
+
+
+if __name__ == "__main__":
+    main()
