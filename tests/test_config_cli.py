@@ -123,3 +123,33 @@ def test_fix_rotamer_restype_check(tmp_path):
         _read_fix_rotamer(str(table), np.array(["GLY", "ALA"]))
     assert _read_fix_rotamer(str(table),
                              np.array(["ALA", "GLY"])) == {0: 1}
+
+
+def test_torus_dbn_cli(tmp_path, rng):
+    """--torus-dbn-library builds the TorusDBN + fixed-HMM Rama prior
+    (the flag the reference defines but leaves commented out,
+    upside_config.py:1244); --rama-sheet-library is accepted as the
+    reference's parsed-but-unused compatibility flag."""
+    seq = "ALGKAVEL"
+    fasta = _write_fasta(tmp_path, seq)
+    n_state, n_restype = 3, 21
+    lib = tmp_path / "torus.h5"
+    bp = rng.normal(size=(n_state, 6))
+    bp[:, 1] = np.abs(bp[:, 1])
+    bp[:, 3] = np.abs(bp[:, 3])
+    restype_order = ["ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU",
+                     "GLY", "HIS", "ILE", "LEU", "LYS", "MET", "PHE",
+                     "PRO", "SER", "THR", "TRP", "TYR", "VAL", "CPR"]
+    with h5py.File(lib, "w") as f:
+        f["restype_order"] = np.array(restype_order, dtype="S")
+        f["basin_param"] = bp
+        f["aa_basin_energy"] = rng.normal(size=(n_restype, n_state))
+        f["transition_energy"] = rng.normal(size=(n_state, n_state))
+    out = str(tmp_path / "sys.up")
+    config_main(["--fasta", fasta, "--output", out,
+                 "--torus-dbn-library", str(lib),
+                 "--rama-sheet-library", str(lib)])
+    system, params, pos, aux = load_system(out)
+    names = {s.node_type.name for s in system.specs}
+    assert {"torus_dbn", "fixed_hmm", "rama_coord"} <= names
+    assert np.isfinite(float(system.energy(pos, params)))

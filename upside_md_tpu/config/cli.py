@@ -111,6 +111,16 @@ def build_parser():
     add('--rama-library-combining-rule', default='mixture',
         choices=['mixture', 'product'])
     add('--rama-sheet-mixing-energy', default=None, type=float)
+    # accepted for command-line compatibility: the reference parses this
+    # flag but never reads it (upside_config.py:1246 — the sheet maps come
+    # from the 'sheet' group of --rama-library instead)
+    add('--rama-sheet-library', default=None,
+        help='accepted for compatibility; sheet maps are read from the '
+             '"sheet" group of --rama-library (as the reference does)')
+    # the reference comments this flag out (upside_config.py:1244); here
+    # it is wired to the working TorusDBN/fixed-HMM rama prior
+    add('--torus-dbn-library', default='',
+        help='TorusDBN Rama probability function (HMM prior)')
     add('--secstr-bias', default='',
         help='table "residue secstr energy" (secstr: helix|sheet)')
     add('--hbond-energy', default=0., type=float)
@@ -288,6 +298,9 @@ def main(argv=None):
 
     if args.rotamer_placement and args.rotamer_interaction:
         b.add_rotamer_node()
+
+    if args.torus_dbn_library:
+        b.add_torus_dbn(args.torus_dbn_library)
 
     if args.rama_library:
         pots = read_weighted_maps(list(b.seq_with_cpr), args.rama_library,
