@@ -187,6 +187,12 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
                     np.testing.assert_array_equal(
                         b[..., 7], a[..., 7],
                         err_msg=f"iters (variant {variant})")
+                    # the residual is a max over near-converged sweeps and
+                    # so reorder-sensitive; its only consumer thresholds
+                    # it against tol, so 5% agreement suffices
+                    np.testing.assert_allclose(
+                        b[..., 6], a[..., 6], rtol=5e-2, atol=1e-6,
+                        err_msg=f"deviation (variant {variant})")
                     a, b = a[..., :6], b[..., :6]
                 np.testing.assert_allclose(
                     b, a, rtol=5e-5, atol=2e-5,

@@ -104,7 +104,7 @@ def hamiltonian_rex_steps_per_sec(n_replica=64, n_rounds_total=60,
                                   rex_every=10):
     """BASELINE config 4 proper: 64-replica HAMILTONIAN replica exchange
     on the 104-res cytochrome c, full forcefield.  Each slot carries its
-    own parameter pytree (a ±2%-per-slot ladder on the backbone spring
+    own parameter pytree (a 2%-wide ladder, ±1%, on the backbone spring
     constants); only the varied leaf is stacked (stack_param_ensembles),
     so the shared sidechain tables keep the batched kernel fast paths.
     Swapped-configuration energies are re-evaluated per swap set (the

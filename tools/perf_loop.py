@@ -124,7 +124,7 @@ def main():
         nonfused = [s for s in system.specs
                     if s.name not in plan.member_names]
         cuts = list(range(prefix_stride, len(nonfused), prefix_stride))
-        if cuts[-1] != len(nonfused):
+        if not cuts or cuts[-1] != len(nonfused):
             cuts.append(len(nonfused))
 
         def make_body(k):

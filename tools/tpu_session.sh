@@ -28,6 +28,8 @@ run pieces 3600 python tools/perf_loop.py 64 30
 # 3. per-node upstream attribution (many small compiles)
 run prefix 5400 python tools/perf_loop.py 64 30 --prefix
 # 4. headline + all BASELINE configs / scaling curve
-run bench 3600 python bench.py
+# short tunnel-wait: the session only starts once the tunnel answered,
+# and the watchdog must emit its error JSON inside this step's timeout
+run bench 3600 BENCH_TUNNEL_WAIT=600 python bench.py
 run bench_all 7200 python tools/bench_all.py
 echo "=== session complete ($(date)); logs in $LOG"

@@ -256,7 +256,8 @@ def main(argv=None):
             # padding columns 6/7 (reference n_bad_solve,
             # rotamer.cpp:657-659)
             for cname, cval in (state.cache or {}).items():
-                if (isinstance(cval, tuple) and len(cval) == 2
+                if (system.by_name[cname].node_type.name == "rotamer"
+                        and isinstance(cval, tuple) and len(cval) == 2
                         and getattr(cval[0], "ndim", 0) == 3
                         and cval[0].shape[-1] >= 8):
                     ctol = float(system.by_name[cname].consts.get(

@@ -44,6 +44,13 @@ def stack_param_ensembles(param_list):
     jit static arguments (Simulation.advance params_batched) — and
     param_axes(params, spec) rebuilds the vmap in_axes tree."""
     first = param_list[0]
+    treedef = jax.tree_util.tree_structure(first)
+    for i, p in enumerate(param_list[1:], 1):
+        if jax.tree_util.tree_structure(p) != treedef:
+            raise ValueError(
+                f"Hamiltonian ensemble slot {i} has a different parameter "
+                f"tree structure than slot 0 — every config must define "
+                f"the same potentials")
     paths = [jax.tree_util.keystr(kp) for kp, _ in
              jax.tree_util.tree_flatten_with_path(first)[0]]
     leaf_lists = list(zip(*[jax.tree_util.tree_leaves(p)
@@ -52,7 +59,6 @@ def stack_param_ensembles(param_list):
         path for path, leaves in zip(paths, leaf_lists)
         if not all(np.array_equal(np.asarray(leaves[0]), np.asarray(x))
                    for x in leaves[1:]))
-    treedef = jax.tree_util.tree_structure(first)
     combined = jax.tree_util.tree_unflatten(treedef, [
         jnp.stack(leaves) if path in spec else leaves[0]
         for path, leaves in zip(paths, leaf_lists)])

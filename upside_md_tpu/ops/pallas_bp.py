@@ -857,8 +857,11 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
 def _stacked_default():
     """Kernel-variant switch for on-device A/B measurement:
     0 = original per-plane kernel, 1 = stacked (concat tiling),
-    2 = stacked with leading-dim broadcast tiling."""
-    return int(os.environ.get("UPSIDE_BP_STACKED", "1"))
+    2 = stacked with leading-dim broadcast tiling, 3 = 2 + whole-array
+    transposes.  Default stays on the measured per-plane kernel until the
+    stacked variants' Mosaic lowering and throughput are validated on a
+    real chip (tools/tpu_session.sh runs the A/B)."""
+    return int(os.environ.get("UPSIDE_BP_STACKED", "0"))
 
 
 @functools.lru_cache(maxsize=None)
