@@ -25,6 +25,9 @@ run bp0z 2400 UPSIDE_BP_STACKED=0 python tools/perf_loop.py 64 30 --only=bp --bp
 run bp1z 2400 UPSIDE_BP_STACKED=1 python tools/perf_loop.py 64 30 --only=bp --bp-zero
 # 2. full piece timings at the default variant
 run pieces 3600 python tools/perf_loop.py 64 30
+# 2b. fused pair block replica-block-size sweep
+run rbhi 2400 UPSIDE_RB_FWD=16 UPSIDE_RB_BWD=8 python tools/perf_loop.py 64 30 --only=fused
+run rblo 2400 UPSIDE_RB_FWD=4 UPSIDE_RB_BWD=2 python tools/perf_loop.py 64 30 --only=fused
 # 3. per-node upstream attribution (many small compiles)
 run prefix 5400 python tools/perf_loop.py 64 30 --prefix
 # 4. headline + all BASELINE configs / scaling curve
