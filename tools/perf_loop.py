@@ -234,6 +234,8 @@ def main():
     S6 = jnp.asarray(_scatter_onehots(consts["res"], consts["rot"], nbp))
     S6T = jnp.asarray(np.ascontiguousarray(
         _scatter_onehots(consts["res"], consts["rot"], nbp).T))
+    # CPU smoke-testing hook: interpret-mode kernels off-TPU
+    interp = jax.default_backend() != "tpu"
     # --bp-zero: max_iter=0 skips the solve entirely (scatter dots +
     # Bethe/gradient assembly + exp only) — separates solve cost from
     # assembly cost
@@ -242,18 +244,42 @@ def main():
               max_iter, float(consts["tol"]), 2)
 
     def bp_warm(e1, ep, nb0, eb0):
-        return bp_bethe_pairs(static, False, False,
+        return bp_bethe_pairs(static, interp, False,
                               e1.astype(jnp.float32),
                               ep.astype(jnp.float32), S6, S6T,
                               valid, (nb0, eb0))
 
     # converge once to get warm messages
     def bp_cold(e1, ep):
-        return bp_bethe_pairs(static, False, False,
+        return bp_bethe_pairs(static, interp, False,
                               e1.astype(jnp.float32),
                               ep.astype(jnp.float32), S6, S6T, valid, None)
 
     F0, nb0, eb0 = jax.jit(jax.vmap(bp_cold))(E1, E_pair)
+
+    # numeric cross-check: a Mosaic lowering bug in a stacked variant must
+    # not be allowed to "win" the A/B with wrong numbers (the variants
+    # compute identical sweeps, so cold-solve free energies must agree to
+    # float noise).  tools/tpu_session.sh skips variants whose log carries
+    # the failure marker.
+    variant = os.environ.get("UPSIDE_BP_STACKED", "0")
+    if "bp" in only and variant != "0":
+        os.environ["UPSIDE_BP_STACKED"] = "0"
+        try:
+            def bp_cold_ref(e1, ep):
+                return bp_bethe_pairs(static, interp, False,
+                                      e1.astype(jnp.float32),
+                                      ep.astype(jnp.float32), S6, S6T,
+                                      valid, None)
+            F_ref = jax.jit(jax.vmap(bp_cold_ref))(E1, E_pair)[0]
+        finally:
+            os.environ["UPSIDE_BP_STACKED"] = variant
+        rel = float(jnp.max(jnp.abs(F0 - F_ref)) /
+                    jnp.maximum(jnp.max(jnp.abs(F_ref)), 1.0))
+        print(f"variant {variant} vs 0: cold-solve free-energy "
+              f"rel err {rel:.3e}")
+        if not (rel < 1e-3):
+            print("BP VARIANT NUMERIC CHECK FAILED")
 
     def body_bp_fwd(i, carry):
         e1, ep, nb, eb = carry

@@ -26,7 +26,9 @@ for v in 0 1 2 3; do
 done
 
 # winner = lowest warm fwd+VJP ms/iter among variants that produced one
+# and passed the on-device numeric cross-check vs variant 0
 WINNER=$(for v in 0 1 2 3; do
+  grep -q 'NUMERIC CHECK FAILED' "$LOG/bp$v.log" && continue
   ms=$(sed -n 's|.*fwd+VJP *\([0-9.]*\) ms/iter.*|\1|p' "$LOG/bp$v.log" | head -1)
   [ -n "$ms" ] && echo "$ms $v"
 done | sort -n | head -1 | awk '{print $2}')
