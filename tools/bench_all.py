@@ -189,41 +189,57 @@ def chi1_latency():
 
 
 def main():
-    rows = []
+    # fault isolation: one failing config must not lose the whole table
+    # (the TPU window may be short); rows print as they complete.
+    import traceback
+
+    def row(name, fn):
+        try:
+            v = fn()
+            print(f"{name:55s} {v:12,.0f} steps/s", flush=True)
+        except Exception:
+            print(f"{name:55s}        ERROR", flush=True)
+            traceback.print_exc()
+
     sysb, pb, posb, _ = build_backbone_system(seq=UBIQUITIN)
-    rows.append(("backbone-only 76-res ubiquitin, 64 rep",
-                 md_steps_per_sec(sysb, pb, posb, 64)))
+    row("backbone-only 76-res ubiquitin, 64 rep",
+        lambda: md_steps_per_sec(sysb, pb, posb, 64))
     sysb, pb, posb, _ = build_backbone_system(seq=TRP_CAGE)
-    rows.append(("backbone-only 20-res Trp-cage, 64 rep",
-                 md_steps_per_sec(sysb, pb, posb, 64)))
+    row("backbone-only 20-res Trp-cage, 64 rep",
+        lambda: md_steps_per_sec(sysb, pb, posb, 64))
 
     sysf, pf, posf, _ = build_full_system(seq=TRP_CAGE)
-    rows.append(("full FF 20-res Trp-cage, 64 rep",
-                 md_steps_per_sec(sysf, pf, posf, 64)))
+    row("full FF 20-res Trp-cage, 64 rep",
+        lambda: md_steps_per_sec(sysf, pf, posf, 64))
 
     sysg, pg, posg, _ = build_10A_system(seq=PROTEIN_G)
-    rows.append(("full FF 56-res protein-G (10A family), 64 rep",
-                 md_steps_per_sec(sysg, pg, posg, 64)))
+    row("full FF 56-res protein-G (10A family), 64 rep",
+        lambda: md_steps_per_sec(sysg, pg, posg, 64))
 
     sysu, pu, posu, _ = build_full_system(seq=UBIQUITIN)
     for n in (8, 32, 64, 128, 256):
-        rows.append((f"full FF 76-res ubiquitin, {n} rep",
-                     md_steps_per_sec(sysu, pu, posu, n)))
+        row(f"full FF 76-res ubiquitin, {n} rep",
+            lambda n=n: md_steps_per_sec(sysu, pu, posu, n))
 
-    sps, acc = rex_steps_per_sec(sysu, pu, posu, 64)
-    rows.append((f"full FF ubiquitin 64-replica T-rex incl. swaps "
-                 f"(acc {acc:.2f})", sps))
+    def trex():
+        sps, acc = rex_steps_per_sec(sysu, pu, posu, 64)
+        print(f"    (T-rex acceptance {acc:.2f})")
+        return sps
+    row("full FF ubiquitin 64-replica T-rex incl. swaps", trex)
 
-    sps, acc = hamiltonian_rex_steps_per_sec(64)
-    rows.append((f"full FF 104-res cyt-c 64-replica H-rex incl. swaps "
-                 f"(acc {acc:.2f})", sps))
+    def hrex():
+        sps, acc = hamiltonian_rex_steps_per_sec(64)
+        print(f"    (H-rex acceptance {acc:.2f})")
+        return sps
+    row("full FF 104-res cyt-c 64-replica H-rex incl. swaps", hrex)
 
-    for name, v in rows:
-        print(f"{name:55s} {v:12,.0f} steps/s")
-
-    t = chi1_latency()
-    print(f"{'chi1 prediction latency (76-res, eval+marginals)':55s} "
-          f"{t*1e3:10.2f} ms")
+    try:
+        t = chi1_latency()
+        print(f"{'chi1 prediction latency (76-res, eval+marginals)':55s} "
+              f"{t*1e3:10.2f} ms")
+    except Exception:
+        print("chi1 prediction latency: ERROR", flush=True)
+        traceback.print_exc()
 
 
 if __name__ == "__main__":
