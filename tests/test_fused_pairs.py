@@ -177,3 +177,156 @@ def test_system_level_fusion(rng, monkeypatch):
     den = np.sqrt(np.mean(np.asarray(g0) ** 2))
     err = np.sqrt(np.mean((np.asarray(g1) - np.asarray(g0)) ** 2)) / den
     assert err < 2e-3, err
+
+
+# --- environment-coverage band (fused_pair_block_env) -----------------------
+
+def make_env_problem(rng, prob, n_e=7):
+    """Env-band inputs sharing prob's bead columns."""
+    n2 = prob[14].shape[0]
+    tab4 = np.zeros((3, 4, 4))
+    tab4[:, :, 0] = rng.uniform(1.0, 4.0, (3, 4))     # r0
+    tab4[:, :, 1] = rng.uniform(0.5, 2.0, (3, 4))     # r_sharp
+    tab4[:, :, 2] = rng.uniform(-0.5, 0.5, (3, 4))    # dot0
+    tab4[:, :, 3] = rng.uniform(0.5, 2.0, (3, 4))     # dot_sharp
+    tab4 = jnp.asarray(tab4)
+    t1e = jnp.asarray(rng.integers(0, 3, n_e), jnp.int32)
+    t2e = jnp.asarray(rng.integers(0, 4, n2), jnp.int32)
+    me = jnp.asarray(rng.random((n_e, n2)) > 0.2)
+    x1e = jnp.asarray(np.concatenate(
+        [3.0 * rng.normal(size=(n_e, 3)), unit_rows(rng, n_e)], axis=1))
+    wcol = jnp.asarray(rng.uniform(0.1, 1.5, n2))
+    return tab4, t1e, t2e, me, x1e, wcol
+
+
+def env_args(prob, envp):
+    (fams, tab1, tab2, tab3, t1a, t1b, tc, ma, mb, mc,
+     x1a, w1a, x1b, w1b, xb) = prob
+    tab4, t1e, t2e, me, x1e, wcol = envp
+    # like full_args: t2 = tc for all three quadspline tables
+    statics = (tab1, tab2, tab3, tab4, t1a, t1b, tc, t1e,
+               tc, tc, tc, t2e, ma, mb, mc, me)
+    dyn = (x1a, w1a, x1b, w1b, xb, x1e, wcol)
+    return statics, dyn
+
+
+def env_reference(envp, xb):
+    from upside_md_tpu.ops.pallas_quadspline import _env_xla_rowsums
+    tab4, t1e, t2e, me, x1e, wcol = envp
+    return _env_xla_rowsums(tab4, t1e, t2e, me, x1e, wcol, xb)
+
+
+def test_fused_env_matches_xla(rng):
+    from upside_md_tpu.ops.pallas_quadspline import fused_pair_block_env
+    prob = make_problem(rng)
+    envp = make_env_problem(rng, prob)
+    fams = prob[0]
+    statics, dyn = env_args(prob, envp)
+    c1f, c2f, gf, envf = fused_pair_block_env(fams, True, *statics, *dyn)
+    c1r, c2r, gr = reference_outputs(*prob)
+    envr = env_reference(envp, prob[14])
+    np.testing.assert_allclose(np.asarray(c1f), np.asarray(c1r),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(c2f), np.asarray(c2r),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(envf), np.asarray(envr),
+                               rtol=1e-5, atol=1e-7)
+    assert np.any(np.asarray(envr) != 0.0)
+
+
+def test_fused_env_gradients(rng):
+    from upside_md_tpu.ops.pallas_quadspline import fused_pair_block_env
+    prob = make_problem(rng, n_a=6, n_b=7, n2=11)
+    envp = make_env_problem(rng, prob, n_e=5)
+    fams = prob[0]
+    statics, dyn = env_args(prob, envp)
+
+    def loss_fused(x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        c1, c2, g, ev = fused_pair_block_env(
+            fams, True, *statics, x1a, w1a, x1b, w1b, xb, x1e, wcol)
+        return (jnp.sum(jnp.sin(c1)) + 2.0 * jnp.sum(jnp.cos(c2))
+                + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
+
+    def loss_ref(x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        c1, c2, g = reference_outputs(fams, *prob[1:10], x1a, w1a, x1b,
+                                      w1b, xb)
+        tab4, t1e, t2e, me = envp[0], envp[1], envp[2], envp[3]
+        ev = env_reference((tab4, t1e, t2e, me, x1e, wcol), xb)
+        return (jnp.sum(jnp.sin(c1)) + 2.0 * jnp.sum(jnp.cos(c2))
+                + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*dyn)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*dyn)
+    for i, (a, b) in enumerate(zip(gf, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-6,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_fused_env_table_gradient(rng):
+    from upside_md_tpu.ops.pallas_quadspline import fused_pair_block_env
+    prob = make_problem(rng, n_a=6, n_b=7, n2=11)
+    envp = make_env_problem(rng, prob, n_e=5)
+    fams = prob[0]
+    statics, dyn = env_args(prob, envp)
+
+    def loss_fused(tab4):
+        st = (statics[0], statics[1], statics[2], tab4) + statics[4:]
+        out = fused_pair_block_env(fams, True, *st, *dyn)
+        return jnp.sum(out[3])
+
+    def loss_ref(tab4):
+        ev = env_reference((tab4,) + envp[1:4] + (envp[4], envp[5]),
+                           prob[14])
+        return jnp.sum(ev)
+
+    gf = jax.grad(loss_fused)(envp[0])
+    gr = jax.grad(loss_ref)(envp[0])
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=3e-4, atol=3e-6)
+
+
+def test_fused_env_vmapped(rng):
+    from upside_md_tpu.ops.pallas_quadspline import fused_pair_block_env
+    prob = make_problem(rng, n_a=6, n_b=7, n2=11)
+    envp = make_env_problem(rng, prob, n_e=5)
+    fams = prob[0]
+    statics, dyn_t = env_args(prob, envp)
+    B = 3
+    dyn = [jnp.stack([x + 0.01 * i for i in range(B)]) for x in dyn_t]
+    out = jax.vmap(lambda *d: fused_pair_block_env(fams, True, *statics,
+                                                   *d))(*dyn)
+    for i in range(B):
+        one = fused_pair_block_env(fams, True, *statics,
+                                   *[d[i] for d in dyn])
+        for a, b in zip(out, one):
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
+                                       rtol=1e-4, atol=2e-6)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/parameters/ff_1/sidechain.h5"),
+    reason="reference parameters not mounted")
+def test_system_level_env_fusion(rng, monkeypatch):
+    """Full forcefield with UPSIDE_FUSE_ENV: energies and forces match
+    the unfused evaluation."""
+    from upside_md_tpu.bench_systems import TRP_CAGE, build_full_system
+
+    monkeypatch.setenv("UPSIDE_FUSE_ENV", "1")
+    system, params, pos, aux = build_full_system(seq=TRP_CAGE)
+    plan = system.pair_fusion
+    assert plan is not None and plan.env is not None, \
+        "env band expected in the fusion plan"
+    pos = jnp.asarray(pos)
+
+    monkeypatch.setenv("UPSIDE_NO_FUSED", "1")
+    e0, g0 = jax.value_and_grad(system.energy)(pos, params)
+    monkeypatch.delenv("UPSIDE_NO_FUSED")
+    monkeypatch.setenv("UPSIDE_FORCE_FUSED", "1")
+    e1, g1 = jax.value_and_grad(system.energy)(pos, params)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=2e-4)
+    den = np.sqrt(np.mean(np.asarray(g0) ** 2))
+    err = np.sqrt(np.mean((np.asarray(g1) - np.asarray(g0)) ** 2)) / den
+    assert err < 2e-3, err

@@ -99,9 +99,7 @@ def main():
             extra["_node_name"] = s.name
             outputs[s.name] = s.node_type.compute(
                 s.consts, params.get(s.name, {}), inputs, extra)
-        keys = set(plan.cov1.args) | set(plan.cov2.args) \
-            | set(plan.rot.args) | {"pos"}
-        return {k: outputs[k] for k in keys if k in outputs}
+        return {k: outputs[k] for k in plan.input_names if k in outputs}
 
     def up_energy(p):
         outputs = {"pos": p}

@@ -42,6 +42,10 @@ echo "=== BP winner: UPSIDE_BP_STACKED=$WINNER"
 run bench 3600 UPSIDE_BP_STACKED=$WINNER BENCH_TUNNEL_WAIT=600 python bench.py
 run bench_all 7200 UPSIDE_BP_STACKED=$WINNER python tools/bench_all.py
 
+# ---- stage 2b: env-band fusion A/B (flag-gated; UPSIDE_FUSE_ENV) -----------
+# on-device numeric gate runs inside bench.py; a win here promotes the flag
+run benchenv 3600 UPSIDE_BP_STACKED=$WINNER UPSIDE_FUSE_ENV=1 BENCH_TUNNEL_WAIT=600 python bench.py
+
 # ---- stage 3: attribution extras ------------------------------------------
 run pieces 3600 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30
 run rbhi 2400 UPSIDE_RB_FWD=16 UPSIDE_RB_BWD=8 python tools/perf_loop.py 64 30 --only=fused

@@ -22,6 +22,13 @@ from .base import register_node
 
 
 def _environment_coverage(consts, params, inputs, extra):
+    # fused cross-node kernel result (see nodes/fusion.py,
+    # UPSIDE_FUSE_ENV=1: the env band rides the fused pair kernel)
+    name = (extra or {}).get("_node_name")
+    fused = (extra or {}).get("_fused", {})
+    if name is not None and name in fused:
+        return fused[name]
+
     cb = inputs[0][consts["index1"]]   # (n1, 6): point + direction
     sc = inputs[1][consts["index2"]]   # (n2, 4): point + weight
     # per-parameter (n1, n2) planes from two one-hot matmuls each: keeps

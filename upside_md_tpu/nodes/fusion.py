@@ -29,14 +29,28 @@ from ..ops.pairs import quadspline_family, sequence_exclusion_mask
 
 
 class PairFusionPlan:
-    """Static plan: the two coverage specs + the rotamer pair grid."""
+    """Static plan: the two coverage specs + the rotamer pair grid, plus
+    (under UPSIDE_FUSE_ENV=1) the environment-coverage band riding the
+    same bead columns."""
 
-    def __init__(self, cov1, cov2, rot, trigger_name):
+    def __init__(self, cov1, cov2, rot, trigger_name, env=None,
+                 env_cb=None, env_wp=None):
         self.cov1 = cov1
         self.cov2 = cov2
         self.rot = rot
         self.trigger_name = trigger_name
         self.member_names = {cov1.name, cov2.name, rot.name}
+        # env spec + the CB-placement and weighted_pos specs it reads
+        self.env = env
+        self.env_cb = env_cb
+        self.env_wp = env_wp
+        if env is not None:
+            self.member_names = self.member_names | {env.name}
+        # node outputs compute() reads (for tools that replay the plan)
+        self.input_names = set(cov1.args) | set(cov2.args) \
+            | set(rot.args) | {"pos"}
+        if env is not None:
+            self.input_names |= {env_cb.name, env_wp.args[1]}
 
     def enabled(self):
         if os.environ.get('UPSIDE_NO_PALLAS') or \
@@ -76,17 +90,44 @@ class PairFusionPlan:
                                 != np.asarray(res)[None, :]))
 
         interpret = jax.default_backend() != 'tpu'
-        c1, c2, grid = fused_pair_block(
-            fams, interpret, tab1, tab2, tab3,
+        if self.env is None:
+            c1, c2, grid = fused_pair_block(
+                fams, interpret, tab1, tab2, tab3,
+                jnp.asarray(cov1.consts["type1"]),
+                jnp.asarray(cov2.consts["type1"]),
+                jnp.asarray(rot.consts["type"]),
+                jnp.asarray(cov1.consts["type2"]),
+                jnp.asarray(cov2.consts["type2"]),
+                jnp.asarray(rot.consts["type"]),
+                ma, mb, mc, x1a, w1a, x1b, w1b, beads)
+            return {cov1.name: c1[:, None], cov2.name: c2[:, None],
+                    rot.name + ":E_pair": grid}
+
+        from ..ops.pallas_quadspline import fused_pair_block_env
+        env, wp = self.env, self.env_wp
+        tab4 = jnp.asarray(params[env.name]["interaction_param"])
+        x1e = outputs[self.env_cb.name][env.consts["index1"]][:, :6]
+        scalar_out = outputs[wp.args[1]]
+        wcol = jnp.exp(-scalar_out[
+            np.asarray(wp.consts["index_weight"])[
+                np.asarray(env.consts["index2"])], 0])
+        me = sequence_exclusion_mask(env.consts["id1"],
+                                     env.consts["id2"], 2)
+        c1, c2, grid, envsum = fused_pair_block_env(
+            fams, interpret, tab1, tab2, tab3, tab4,
             jnp.asarray(cov1.consts["type1"]),
             jnp.asarray(cov2.consts["type1"]),
             jnp.asarray(rot.consts["type"]),
+            jnp.asarray(env.consts["type1"]),
             jnp.asarray(cov1.consts["type2"]),
             jnp.asarray(cov2.consts["type2"]),
             jnp.asarray(rot.consts["type"]),
-            ma, mb, mc, x1a, w1a, x1b, w1b, beads)
+            jnp.asarray(env.consts["type2"]),
+            ma, mb, mc, jnp.asarray(me),
+            x1a, w1a, x1b, w1b, beads, x1e, wcol)
         return {cov1.name: c1[:, None], cov2.name: c2[:, None],
-                rot.name + ":E_pair": grid}
+                rot.name + ":E_pair": grid,
+                env.name: envsum[:, None]}
 
 
 def plan_pair_fusion(specs) -> Optional[PairFusionPlan]:
@@ -130,16 +171,46 @@ def plan_pair_fusion(specs) -> Optional[PairFusionPlan]:
     # run at the first member's turn.  Validate that move: every fused
     # input must precede the second coverage spec, and nothing between the
     # two coverage specs may consume the first one's output.
+    # optional environment-coverage band (UPSIDE_FUSE_ENV=1): the env
+    # node's pair columns must be exactly the rotamer bead rows, via
+    # weighted_pos's index_pos, and its CB probes must fit one row tile.
+    env = env_cb = env_wp = None
+    if os.environ.get('UPSIDE_FUSE_ENV'):
+        envs = [s for s in specs
+                if s.node_type.name == "environment_coverage"]
+        by_name = {s.name: s for s in specs}
+        if len(envs) == 1:
+            e = envs[0]
+            wp = by_name.get(e.args[1])
+            cb = by_name.get(e.args[0])
+            if (wp is not None and wp.node_type.name == "weighted_pos"
+                    and cb is not None
+                    and e.consts.get("id1") is not None
+                    and e.consts.get("id2") is not None
+                    and len(e.consts["index1"]) <= 128
+                    and np.array_equal(
+                        np.asarray(wp.consts["index_pos"])[
+                            np.asarray(e.consts["index2"])],
+                        np.asarray(rot.consts["index"]))):
+                env, env_cb, env_wp = e, cb, wp
+
     names = [s.name for s in specs]
     needed = {covs[0].args[0], covs[1].args[0], rot.args[0]}
     cov_pos = sorted(names.index(c.name) for c in covs)
-    for dep in needed:
-        if dep != "pos" and names.index(dep) > cov_pos[1]:
-            return None
+
+    def precedes(dep):
+        return dep == "pos" or names.index(dep) <= cov_pos[1]
+
+    if not all(precedes(dep) for dep in needed):
+        return None
+    if env is not None and not all(
+            precedes(dep) for dep in (env.args[0], env_wp.args[1])):
+        env = env_cb = env_wp = None       # fuse without the env band
     first = names[cov_pos[0]]
     for s in specs[cov_pos[0] + 1:cov_pos[1]]:
         if first in s.args:
             return None
     cov1 = covs[0] if covs[0].name == first else covs[1]
     cov2 = covs[1] if cov1 is covs[0] else covs[0]
-    return PairFusionPlan(cov1, cov2, rot, cov1.name)
+    return PairFusionPlan(cov1, cov2, rot, cov1.name, env=env,
+                          env_cb=env_cb, env_wp=env_wp)

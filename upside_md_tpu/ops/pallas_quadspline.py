@@ -989,9 +989,9 @@ def _pad_distance_knots(table, ka, k, k_max):
     return jnp.concatenate([ang, wide, narrow], axis=-1)
 
 
-def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
+def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
                       x1_ref, x2t_ref, oh1_ref, t2t_ref, mask_ref,
-                      cs_ref, grid_ref, c_ref):
+                      *rest):
     # grid (n_j, n_it, n_rb): the replica-block dimension is INNERMOST so
     # the per-(i, j)-tile poly-coefficient planes — the MXU table lookup,
     # which is replica-independent — are computed ONCE into VMEM scratch
@@ -999,12 +999,25 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
     # slab stays HBM-resident for a whole j sweep.  Column sums land in
     # per-i-tile partials (one small XLA reduction) because the cs block
     # is revisited non-consecutively in this order.
+    #
+    # ITE >= 0 marks one additional ENVIRONMENT-COVERAGE row tile (rows =
+    # CB probes) between the coverage and pair bands: same geometry, but
+    # compact radial x angular sigmoids on precomputed per-pair parameter
+    # planes (ep_ref) instead of splines, weighted by the per-column
+    # Boltzmann weights riding x2t row 6, summed per ROW into cs row 2
+    # (reference environment.cpp:12-68).  Its tile index is below IT0 so
+    # its (ignored) grid block 0 is overwritten by the first pair tile.
+    if ITE >= 0:
+        ep_ref, cs_ref, grid_ref, c_ref = rest
+    else:
+        cs_ref, grid_ref, c_ref = rest
     inv_dtheta = (ka - 3) / 2.0
     it = pl.program_id(1)
     r = pl.program_id(2)
     alive = jnp.any(mask_ref[:, :] > 0)
+    is_env = (it == ITE) if ITE >= 0 else jnp.bool_(False)
 
-    @pl.when(alive & (r == 0))
+    @pl.when(alive & jnp.logical_not(is_env) & (r == 0))
     def _():
         _fill_C_scratch(_make_get_C(oh1_ref, t2t_ref, A), ka, k, c_ref)
 
@@ -1013,7 +1026,29 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
         grid_ref[:, :, :] = jnp.zeros_like(grid_ref)
         cs_ref[0] = jnp.zeros_like(cs_ref[0])
 
-    @pl.when(alive)
+    if ITE >= 0:
+        @pl.when(alive & is_env)
+        def _():
+            from .sigmoid import compact_sigmoid
+            _, _, dist, _, _, cos1, _ = _geometry(x1_ref, x2t_ref)
+            r0 = ep_ref[0][None]
+            rs = ep_ref[1][None]
+            d0 = ep_ref[2][None]
+            ds = ep_ref[3][None]
+            radial, _ = compact_sigmoid(dist - r0, rs)
+            angular, _ = compact_sigmoid(d0 - cos1, ds)
+            m = mask_ref[:, :][None]
+            w = x2t_ref[:, 6:7, :]
+            val = m * w * radial * angular
+            rb = val.shape[0]
+            rowsum = jnp.sum(val, axis=2)            # (rb, TI) on lanes
+            cs_ref[0] = jnp.concatenate(
+                [jnp.zeros((rb, 2, val.shape[1]), val.dtype),
+                 rowsum[:, None, :],
+                 jnp.zeros((rb, 5, val.shape[1]), val.dtype)], axis=1)
+            grid_ref[:, :, :] = jnp.zeros_like(grid_ref)
+
+    @pl.when(alive & jnp.logical_not(is_env))
     def _():
         _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
         o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
@@ -1039,21 +1074,31 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
              jnp.zeros((rb, 6, val.shape[2]), val.dtype)], axis=1)
 
 
-def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
+def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
                       x1_ref, x2t_ref, oh1_ref, t2t_ref, mask_ref,
-                      gcs_ref, ggrid_ref, d1_ref, d2_ref, c_ref):
+                      *rest):
     # grid (n_j, n_it, n_rb): same layout as the forward kernel — the
     # per-(i, j)-tile poly-coefficient planes are computed once into VMEM
     # scratch at r == 0 and shared across all replica blocks, and the
     # parameter slab stays resident for a whole j sweep.  Both cotangent
     # outputs land in partial blocks (d1 per j, d2 per i) summed by small
     # XLA reductions.
+    #
+    # ITE >= 0: environment-coverage row tile (see _fused_fwd_kernel).
+    # Its per-row output cotangent arrives through x1 column 6 of the env
+    # rows (stuffed by _fused_bwd_batched); its per-column WEIGHT
+    # cotangent leaves through d2 row 6 (zero for every other band).
+    if ITE >= 0:
+        ep_ref, gcs_ref, ggrid_ref, d1_ref, d2_ref, c_ref = rest
+    else:
+        gcs_ref, ggrid_ref, d1_ref, d2_ref, c_ref = rest
     inv_dtheta = (ka - 3) / 2.0
     i = pl.program_id(1)
     r = pl.program_id(2)
     alive = jnp.any(mask_ref[:, :] > 0)
+    is_env = (i == ITE) if ITE >= 0 else jnp.bool_(False)
 
-    @pl.when(alive & (r == 0))
+    @pl.when(alive & jnp.logical_not(is_env) & (r == 0))
     def _():
         _fill_C_scratch(_make_get_C(oh1_ref, t2t_ref, A), ka, k, c_ref)
 
@@ -1062,7 +1107,48 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
         d1_ref[0] = jnp.zeros_like(d1_ref[0])
         d2_ref[0] = jnp.zeros_like(d2_ref[0])
 
-    @pl.when(alive)
+    if ITE >= 0:
+        @pl.when(alive & is_env)
+        def _():
+            from .sigmoid import compact_sigmoid
+            dir1, _, dist, inv_dist, (ux, uy, uz), cos1, _ = _geometry(
+                x1_ref, x2t_ref)
+            r0 = ep_ref[0][None]
+            rs = ep_ref[1][None]
+            d0 = ep_ref[2][None]
+            ds = ep_ref[3][None]
+            radial, dradial = compact_sigmoid(dist - r0, rs)
+            angular, dangular = compact_sigmoid(d0 - cos1, ds)
+            m = mask_ref[:, :][None]
+            w = x2t_ref[:, 6:7, :]
+            genv = x1_ref[:, :, 6:7]
+            g = genv * m * w
+            rad = g * dradial * angular              # d/d dist
+            c1 = -g * radial * dangular              # d/d cos1
+            f1 = c1 * inv_dist
+            gx = rad * ux + f1 * (dir1[0] - cos1 * ux)
+            gy = rad * uy + f1 * (dir1[1] - cos1 * uy)
+            gz = rad * uz + f1 * (dir1[2] - cos1 * uz)
+
+            cols = []
+            for arr, sgn in ((gx, -1.0), (gy, -1.0), (gz, -1.0),
+                             (c1 * ux, 1.0), (c1 * uy, 1.0),
+                             (c1 * uz, 1.0)):
+                cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
+            cols.append(jnp.zeros_like(cols[0]))
+            cols.append(jnp.zeros_like(cols[0]))
+            d1_ref[0] = jnp.concatenate(cols, axis=2)
+
+            dw = jnp.sum(genv * m * radial * angular, 1, keepdims=True)
+            rows = []
+            for arr, sgn in ((gx, 1.0), (gy, 1.0), (gz, 1.0)):
+                rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
+            rows.extend([jnp.zeros_like(rows[0])] * 3)
+            rows.append(dw)
+            rows.append(jnp.zeros_like(rows[0]))
+            d2_ref[0] = jnp.concatenate(rows, axis=1)
+
+    @pl.when(alive & jnp.logical_not(is_env))
     def _():
         dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
             x1_ref, x2t_ref)
@@ -1124,9 +1210,17 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, kcut_cov, kcut_pair,
         d2_ref[0] = jnp.concatenate(rows, axis=1)      # (1, RB, 8, TJ)
 
 
-def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks):
+def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks,
+                env=None):
     """Pad, unify spline families, and build the concatenated operands.
-    x1a/x1b/xb carry a leading replica axis; w1a/w1b likewise."""
+    x1a/x1b/xb carry a leading replica axis; w1a/w1b likewise.
+
+    env (optional): (tab4, t1e, t2e, maske, x1e, wcol) adds one
+    environment-coverage row tile between the coverage and pair bands:
+    x1e (n_rep, n_e<=128, 6) CB probes, wcol (n_rep, n2) per-column
+    Boltzmann weights (riding x2t row 6), tab4 (nt1, nt2, 4) the
+    (r0, r_sharp, dot0, dot_sharp) table whose per-pair planes are
+    precomputed here (position-independent one-hot lookups)."""
     (ka, kc, inv_dxc), (ka2, kp, inv_dxp) = fams
     assert ka == ka2 and abs(inv_dxc - inv_dxp) < 1e-12, \
         "fused families must share angular knots and knot spacing"
@@ -1141,9 +1235,19 @@ def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks):
     n_a, n_b, n2 = x1a.shape[1], x1b.shape[1], xb.shape[1]
     N1 = n_a + n_b
     N1C = _round_up(N1, TILE)
-    IT0 = N1C // TILE
     n2p = _round_up(n2, TILE)
-    N1P = N1C + n2p
+    if env is not None:
+        tab4, t1e, t2e, maske, x1e, wcol = env
+        n_e = x1e.shape[1]
+        assert n_e <= TILE, "fused env band supports <= 128 CB probes"
+        E_rows = TILE
+        ITE = N1C // TILE
+    else:
+        n_e = 0
+        E_rows = 0
+        ITE = -1
+    IT0 = (N1C + E_rows) // TILE
+    N1P = N1C + E_rows + n2p
 
     def row8(x, w6, w7):
         cols = [x[:, :, :6].astype(jnp.float32)]
@@ -1156,21 +1260,39 @@ def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks):
         return jnp.concatenate(cols, axis=2)
 
     pad_mid = N1C - N1
-    x1cat = jnp.concatenate([
+    parts = [
         row8(x1a, w1a, None),
         row8(x1b, None, w1b),
-        jnp.zeros((n_rep, pad_mid, 8), jnp.float32),
+        jnp.zeros((n_rep, pad_mid, 8), jnp.float32)]
+    if env is not None:
+        parts.append(row8(x1e, None, None))
+        parts.append(jnp.zeros((n_rep, E_rows - n_e, 8), jnp.float32))
+    parts.extend([
         row8(xb, None, None),
-        jnp.zeros((n_rep, n2p - n2, 8), jnp.float32)], axis=1)
+        jnp.zeros((n_rep, n2p - n2, 8), jnp.float32)])
+    x1cat = jnp.concatenate(parts, axis=1)
     x2t = jnp.pad(jnp.swapaxes(xb[:, :, :6].astype(jnp.float32), 1, 2),
                   ((0, 0), (0, 2), (0, n2p - n2)))
+    ep = None
+    if env is not None:
+        x2t = x2t.at[:, 6, :n2].set(wcol.astype(jnp.float32))
+        HI = jax.lax.Precision.HIGHEST
+        oh1e = jax.nn.one_hot(t1e, tab4.shape[0], dtype=jnp.float32)
+        oh2e = jax.nn.one_hot(t2e, tab4.shape[1], dtype=jnp.float32)
+        ep = jnp.stack([
+            jnp.einsum('ia,ab,jb->ij', oh1e,
+                       tab4[:, :, c].astype(jnp.float32), oh2e,
+                       precision=HI)
+            for c in range(4)])                       # (4, n_e, n2)
+        ep = jnp.pad(ep, ((0, 0), (0, TILE - n_e), (0, n2p - n2)))
 
     oh1 = jnp.zeros((N1P, Ap), jnp.float32)
     oh1 = oh1.at[:n_a, :A1].set(jax.nn.one_hot(t1s[0], A1,
                                                dtype=jnp.float32))
     oh1 = oh1.at[n_a:N1, A1:A1 + A2].set(
         jax.nn.one_hot(t1s[1], A2, dtype=jnp.float32))
-    oh1 = oh1.at[N1C:N1C + n2, A1 + A2:A1 + A2 + A3].set(
+    bead0 = N1C + E_rows
+    oh1 = oh1.at[bead0:bead0 + n2, A1 + A2:A1 + A2 + A3].set(
         jax.nn.one_hot(t1s[2], A3, dtype=jnp.float32))
 
     # per-family poly expansion against the SHARED (ka, k) layout, stacked
@@ -1190,19 +1312,23 @@ def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks):
     maskcat = jnp.zeros((N1P, n2p), jnp.float32)
     maskcat = maskcat.at[:n_a, :n2].set(masks[0].astype(jnp.float32))
     maskcat = maskcat.at[n_a:N1, :n2].set(masks[1].astype(jnp.float32))
-    maskcat = maskcat.at[N1C:N1C + n2, :n2].set(
+    if env is not None:
+        maskcat = maskcat.at[N1C:N1C + n_e, :n2].set(
+            maske.astype(jnp.float32))
+    maskcat = maskcat.at[bead0:bead0 + n2, :n2].set(
         masks[2].astype(jnp.float32))
 
     kcut_cov = kc - 2 - 1e-6
     kcut_pair = kp - 2 - 1e-6
     return (x1cat, x2t, oh1, t2t, maskcat, (ka, k, inv_dxc), Ap, IT0,
-            kcut_cov, kcut_pair, N1P, n2p, n2)
+            kcut_cov, kcut_pair, N1P, n2p, n2, ITE, ep)
 
 
 def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
-                       x1a, w1a, x1b, w1b, xb):
+                       x1a, w1a, x1b, w1b, xb, env=None):
     (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
-     n2) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks)
+     n2, ITE, ep) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b,
+                                xb, masks, env)
     ka, k, inv_dx = fam
     n_rep = xb.shape[0]
     Mp = t2t.shape[0] // (2 * A_tot)
@@ -1212,22 +1338,29 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
     n_it = N1P // TILE
     n_it_pair = n_it - IT0
     R = n_rb * rb
+    in_specs = [
+        pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x1cat, x2t, oh1, t2t, maskcat]
+    if ITE >= 0:
+        in_specs.append(pl.BlockSpec((4, TILE, TILE),
+                                     lambda j, i, r: (0, 0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(ep)
     cs_part, grid = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, ka, k, inv_dx, A_tot, IT0,
-                          kcc, kcp),
+                          ITE, kcc, kcp),
         grid=(n2p // TILE, n_it, n_rb),
-        in_specs=[
-            pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, rb, 8, TILE), lambda j, i, r: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
@@ -1247,22 +1380,35 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x1cat, x2t, oh1, t2t, maskcat)
+    )(*operands)
     cs = jnp.sum(cs_part, axis=0)                        # (R, 8, n2p)
     cov1 = cs[:n_rep, 0, :n2].astype(xb.dtype)
     cov2 = cs[:n_rep, 1, :n2].astype(xb.dtype)
-    return cov1, cov2, grid[:n_rep, :n2, :n2].astype(xb.dtype)
+    outs = (cov1, cov2, grid[:n_rep, :n2, :n2].astype(xb.dtype))
+    if ITE >= 0:
+        n_e = env[4].shape[1]
+        envsum = cs[:n_rep, 2, :].reshape(
+            n_rep, n2p // TILE, TILE).sum(1)[:, :n_e]
+        outs = outs + (envsum.astype(xb.dtype),)
+    return outs
 
 
 def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
-                       x1a, w1a, x1b, w1b, xb, g1, g2, gg):
+                       x1a, w1a, x1b, w1b, xb, g1, g2, gg, env=None,
+                       genv=None):
     (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
-     n2) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks)
+     n2, ITE, ep) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b,
+                                xb, masks, env)
     ka, k, inv_dx = fam
     n_rep = xb.shape[0]
     n_a, n_b = x1a.shape[1], x1b.shape[1]
     N1 = n_a + n_b
     N1C = _round_up(N1, TILE)
+    if ITE >= 0:
+        # the env band's per-row output cotangent rides x1 column 6
+        n_e = env[4].shape[1]
+        x1cat = x1cat.at[:, N1C:N1C + n_e, 6].set(
+            genv.astype(jnp.float32))
     Mp = t2t.shape[0] // (2 * A_tot)
     rb = min(rb, max(n_rep, 1))
     x1cat, n_rb = _pad_reps(x1cat, rb)
@@ -1273,31 +1419,41 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
                     axis=1)                              # (n_rep, 2, n2)
     gcs = jnp.pad(gcs, ((0, R - n_rep), (0, 6), (0, n2p - n2)))
     ggrid = jnp.pad(gg.astype(jnp.float32),
-                    ((0, R - n_rep), (0, (N1P - N1C) - n2), (0, n2p - n2)))
+                    ((0, R - n_rep), (0, n2p - n2), (0, n2p - n2)))
 
     n_it = N1P // TILE
     n_j = n2p // TILE
+    in_specs = [
+        pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x1cat, x2t, oh1, t2t, maskcat]
+    if ITE >= 0:
+        in_specs.append(pl.BlockSpec((4, TILE, TILE),
+                                     lambda j, i, r: (0, 0, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(ep)
+    in_specs.extend([
+        pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, TILE, TILE),
+                     lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
+                     memory_space=pltpu.VMEM),
+    ])
+    operands.extend([gcs, ggrid])
     d1_part, d2_part = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, ka, k, inv_dx, A_tot, IT0,
-                          kcc, kcp),
+                          ITE, kcc, kcp),
         grid=(n_j, n_it, n_rb),
-        in_specs=[
-            pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, TILE, TILE),
-                         lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, rb, TILE, 8), lambda j, i, r: (j, r, i, 0),
                          memory_space=pltpu.VMEM),
@@ -1312,13 +1468,18 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x1cat, x2t, oh1, t2t, maskcat, gcs, ggrid)
+    )(*operands)
     d1 = jnp.sum(d1_part, axis=0)                        # (R, N1P, 8)
     d2 = jnp.swapaxes(jnp.sum(d2_part, axis=0), 1, 2)    # (R, n2p, 8)
     dxa = d1[:n_rep, :n_a]
     dxb = d1[:n_rep, n_a:N1]
-    dbeads_g1 = d1[:n_rep, N1C:N1C + n2, :6]
-    return dxa, dxb, dbeads_g1, d2[:n_rep, :n2]
+    bead0 = N1C + (TILE if ITE >= 0 else 0)
+    dbeads_g1 = d1[:n_rep, bead0:bead0 + n2, :6]
+    outs = (dxa, dxb, dbeads_g1, d2[:n_rep, :n2])
+    if ITE >= 0:
+        dxe = d1[:n_rep, N1C:N1C + n_e, :6]
+        outs = outs + (dxe,)
+    return outs
 
 
 @functools.lru_cache(maxsize=None)
@@ -1452,3 +1613,166 @@ def _fused_bwd_rule(fams, interpret, res, cots):
 
 
 fused_pair_block.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+# --- fused block WITH the environment-coverage band -------------------------
+# Same kernels with one extra row tile of CB probes evaluating compact
+# radial x angular sigmoids (reference environment.cpp:12-68) against the
+# shared bead columns, weighted by per-column Boltzmann weights.  Kept as
+# a separate entry point so the measured default path is untouched;
+# enabled by nodes/fusion.py under UPSIDE_FUSE_ENV=1.
+
+def _env_pack(tab4, t1e, t2e, me, x1e, wcol):
+    return (tab4, t1e, t2e, me, x1e, wcol)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_env_fwd_dispatch(fams, interpret):
+    @jax.custom_batching.custom_vmap
+    def fwd(tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
+            t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        outs = _fused_fwd_batched(
+            fams, interpret, RB_FWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a[None], w1a[None],
+            x1b[None], w1b[None], xb[None],
+            env=_env_pack(tab4, t1e, t2e, me, x1e[None], wcol[None]))
+        return tuple(o[0] for o in outs)
+
+    @fwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:16]
+        dyn = list(args[16:])
+        if any(in_batched[:16]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: fwd(*aa), tuple(bs))
+            return out, (True, True, True, True)
+        for n, b in enumerate(in_batched[16:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+         ma, mb, mc, me) = statics
+        x1a, w1a, x1b, w1b, xb, x1e, wcol = dyn
+        out = _fused_fwd_batched(
+            fams, interpret, RB_FWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb,
+            env=_env_pack(tab4, t1e, t2e, me, x1e, wcol))
+        return out, (True, True, True, True)
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_env_bwd_dispatch(fams, interpret):
+    @jax.custom_batching.custom_vmap
+    def bwd(tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
+            t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv):
+        outs = _fused_bwd_batched(
+            fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a[None], w1a[None],
+            x1b[None], w1b[None], xb[None], g1[None], g2[None], gg[None],
+            env=_env_pack(tab4, t1e, t2e, me, x1e[None], wcol[None]),
+            genv=genv[None])
+        return tuple(o[0] for o in outs)
+
+    @bwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:16]
+        dyn = list(args[16:])
+        if any(in_batched[:16]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: bwd(*aa), tuple(bs))
+            return out, (True,) * 5
+        for n, b in enumerate(in_batched[16:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+         ma, mb, mc, me) = statics
+        x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg, genv = dyn
+        out = _fused_bwd_batched(
+            fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb, g1,
+            g2, gg, env=_env_pack(tab4, t1e, t2e, me, x1e, wcol),
+            genv=genv)
+        return out, (True,) * 5
+
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_pair_block_env(fams, interpret, tab1, tab2, tab3, tab4,
+                         t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+                         ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e,
+                         wcol):
+    """fused_pair_block plus the environment-coverage band: x1e are the
+    CB probe rows (n_e <= 128, pos+direction), wcol the per-bead-column
+    Boltzmann weights, tab4 the (nt1, nt2, [r0, r_sharp, dot0,
+    dot_sharp]) sigmoid table (reference environment.cpp:12-68).
+
+    Returns (cov1, cov2, grid, env (n_e,)); env values identical to the
+    XLA environment_coverage node.  Gradients additionally flow to x1e
+    and wcol (and tab4 under training)."""
+    return _fused_env_fwd_dispatch(fams, interpret)(
+        tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+        ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol)
+
+
+def _fused_env_fwd_rule(fams, interpret, *args):
+    out = _fused_env_fwd_dispatch(fams, interpret)(*args)
+    return out, args
+
+
+def _env_xla_rowsums(tab4, t1e, t2e, me, x1e, wcol, xb):
+    """XLA reference formulation of the env band (for table cotangents
+    under training; dead-code eliminated in MD)."""
+    from .sigmoid import compact_sigmoid
+    p = tab4[t1e[:, None], t2e[None, :]]     # (n_e, n2, 4)
+    d = xb[None, :, :3] - x1e[:, None, :3]
+    dist = jnp.sqrt(jnp.sum(d * d, -1) + 1e-12)
+    dp = jnp.sum(d * x1e[:, None, 3:6], -1) / dist
+    radial, _ = compact_sigmoid(dist - p[..., 0], p[..., 1])
+    angular, _ = compact_sigmoid(p[..., 2] - dp, p[..., 3])
+    val = jnp.where(me, wcol[None, :] * radial * angular, 0.0)
+    return jnp.sum(val, axis=1)
+
+
+def _fused_env_bwd_rule(fams, interpret, res, cots):
+    (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+     ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
+    g1, g2, gg, genv = cots
+    fam_cov, fam_pair = fams
+
+    dxa, dxb, dbg1, d2, dxe = _fused_env_bwd_dispatch(fams, interpret)(
+        tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+        ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg,
+        genv)
+
+    d_x1a = jnp.zeros_like(x1a).at[:, :6].set(dxa[:, :6].astype(x1a.dtype))
+    d_w1a = dxa[:, 6].astype(w1a.dtype)
+    d_x1b = jnp.zeros_like(x1b).at[:, :6].set(dxb[:, :6].astype(x1b.dtype))
+    d_w1b = dxb[:, 7].astype(w1b.dtype)
+    d_xb = jnp.zeros_like(xb).at[:, :6].set(
+        (dbg1 + d2[:, :6]).astype(xb.dtype))
+    d_x1e = jnp.zeros_like(x1e).at[:, :6].set(dxe[:, :6].astype(x1e.dtype))
+    d_wcol = d2[:, 6].astype(wcol.dtype)
+
+    gm1 = w1a[:, None] * g1[None, :]
+    d_tab1 = _table_cotangent(fam_cov, tab1, t1a, t2a, x1a, xb, ma, gm1)
+    gm2 = w1b[:, None] * g2[None, :]
+    d_tab2 = _table_cotangent(fam_cov, tab2, t1b, t2b, x1b, xb, mb, gm2)
+    d_tab3 = _table_cotangent(fam_pair, tab3, t1c, t2c, xb, xb, mc, gg)
+    d_tab4 = jax.grad(lambda t: jnp.sum(genv * _env_xla_rowsums(
+        t, t1e, t2e, me, x1e[:, :6].astype(jnp.float32),
+        wcol.astype(jnp.float32),
+        xb[:, :6].astype(jnp.float32))))(tab4.astype(jnp.float32)) \
+        .astype(tab4.dtype)
+    return (d_tab1, d_tab2, d_tab3, d_tab4, None, None, None, None, None,
+            None, None, None, None, None, None, None, d_x1a, d_w1a,
+            d_x1b, d_w1b, d_xb, d_x1e, d_wcol)
+
+
+fused_pair_block_env.defvjp(_fused_env_fwd_rule, _fused_env_bwd_rule)
