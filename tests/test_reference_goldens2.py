@@ -211,6 +211,53 @@ def _ref_membrane(cb_energy, uhb_energy, cb_z, restype, cov, cov_mid,
     return pot
 
 
+def _ref_quat_to_rot(q):
+    """quat_to_rot (src/affine.h:98-108), [a,b,c,d] layout."""
+    a, b, c, d = [float(v) for v in q]
+    return np.array([
+        [a*a + b*b - c*c - d*d, 2*(b*c - a*d), 2*(b*d + a*c)],
+        [2*(b*c + a*d), a*a - b*b + c*c - d*d, 2*(c*d - a*b)],
+        [2*(b*d - a*c), 2*(c*d + a*b), a*a - b*b - c*c + d*d]], np.float64)
+
+
+def _ref_backbone_pairs(affines, ref_pos, n_atoms, ids):
+    """BackbonePairs::compute_value (src/backbone_steric.cpp:82-146):
+    atoms placed by the rigid frame, pairs with |id_i - id_j| > 1, each
+    atom pair within cutoff2 = 9.3 contributing
+    4 * compact_sigmoid(r^2 - 9, 1/0.3) (:16-30).  Returns
+    (potential, d (n,3) translation sens, torque (n,3))."""
+    affines = np.asarray(affines, np.float64)
+    n = len(affines)
+    atoms = []
+    for nr in range(n):
+        U = _ref_quat_to_rot(affines[nr, 3:7])
+        t = affines[nr, 0:3]
+        atoms.append([U @ np.asarray(ref_pos[nr][na], np.float64) + t
+                      for na in range(n_atoms[nr])])
+    pot = 0.0
+    d = np.zeros((n, 3))
+    torque = np.zeros((n, 3))
+    for nr1 in range(n):
+        for nr2 in range(n):
+            if not (ids[nr2] - ids[nr1] > 1):   # each unordered pair once
+                continue
+            t1, t2 = affines[nr1, 0:3], affines[nr2, 0:3]
+            for x1 in atoms[nr1]:
+                for x2 in atoms[nr2]:
+                    r = x1 - x2
+                    r2 = r @ r
+                    if r2 > 3.0 * 3.0 + 0.1 * 3.0:   # :16
+                        continue
+                    v, dv = _ref_compact_sigmoid(r2 - 9.0, 1.0 / 0.3)
+                    pot += 4.0 * v
+                    g = 2.0 * 4.0 * dv * r           # deriv_over_r * r
+                    d[nr1] += g
+                    torque[nr1] += np.cross(x1 - t1, g)
+                    d[nr2] -= g
+                    torque[nr2] += np.cross(x2 - t2, -g)
+    return pot, d, torque
+
+
 def _ref_radial_edge(p, x1, x2):
     """RadialHelper::compute_edge (src/sidechain_radial.cpp:47-62):
     clamped deBoor of dist2*rsqrt(dist2+1e-7)*inv_dx over 16 knots;
@@ -317,6 +364,37 @@ RAD_GOLDEN = [  # (x1, x2, energy)
     ([0.0, 0.0, 0.0], [12.0, 0.0, 0.0], 0.0),
 ]
 
+# backbone steric: 3 residues, ids with one adjacent exclusion (2,3);
+# quaternions are exactly unit by construction
+STERIC_IDS = [0, 2, 3]
+STERIC_N_ATOM = [4, 3, 4]
+STERIC_AFFINES = [
+    [0.0, 0.0, 0.0,      1.0, 0.0, 0.0, 0.0],
+    # two atom pairs inside the (2.95, 3.05) sigmoid band, two saturated
+    [3.45, 0.42, -0.22,  0.5, 0.5, 0.5, 0.5],
+    # one band pair vs residue 0; its band pair vs residue 1 is EXCLUDED
+    # by the (2,3) id gap — a broken exclusion would shift every literal
+    [2.1, -3.12, 0.84,   0.8, 0.2, -0.4, 0.4],
+]
+STERIC_REF_POS = [
+    [[0.9, 0.0, 0.0], [0.0, 0.9, 0.0], [0.0, 0.0, 0.9], [-0.6, -0.6, 0.3]],
+    [[1.1, 0.2, 0.0], [-0.4, 0.8, 0.3], [0.0, -0.7, -0.6], [0.0, 0.0, 0.0]],
+    [[0.8, 0.4, -0.2], [-0.9, 0.1, 0.5], [0.3, -0.8, 0.1], [-0.2, 0.6, 0.7]],
+]
+STERIC_GOLDEN = (             # (potential, d (3,3), torque (3,3))
+    13.385035526223998,
+    [
+        [87.53039246720058, -32.52137474417761, 15.770615550222166],
+        [-63.09145200000057, -13.262969422222403, 10.524446977777847],
+        [-24.438940467200016, 45.78434416640002, -26.295062528000013],
+    ],
+    [
+        [-9.25142984000006, -23.44498383520001, -53.10172500976002],
+        [7.749015382222293, 22.208650193333447, 31.154649926667044],
+        [-43.58174598758403, -11.025365041152009, 21.30828125798402],
+    ],
+)
+
 
 # ---------------------------------------------------------------------------
 # Generator self-checks: transliterations reproduce the committed literals
@@ -345,6 +423,11 @@ def test_generator2_matches_literals():
     for x1, x2, v in RAD_GOLDEN:
         np.testing.assert_allclose(_ref_radial_edge(RAD_P, x1, x2), v,
                                    rtol=1e-12, atol=1e-15)
+    gp, gd, gt = _ref_backbone_pairs(STERIC_AFFINES, STERIC_REF_POS,
+                                     STERIC_N_ATOM, STERIC_IDS)
+    np.testing.assert_allclose(gp, STERIC_GOLDEN[0], rtol=1e-13)
+    np.testing.assert_allclose(gd, STERIC_GOLDEN[1], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(gt, STERIC_GOLDEN[2], rtol=1e-12, atol=1e-15)
 
 
 # ---------------------------------------------------------------------------
@@ -452,3 +535,52 @@ def test_radial_edge_vs_golden():
         en = _radial_energy(p, jnp.asarray([x1], jnp.float64),
                             jnp.asarray([x2], jnp.float64), mask)
         np.testing.assert_allclose(float(en[0, 0]), v, rtol=1e-9, atol=1e-12)
+
+
+def _steric_consts():
+    ref_pos = np.zeros((3, 4, 3))
+    for nr, row in enumerate(STERIC_REF_POS):
+        ref_pos[nr, :len(row)] = row
+    atom_mask = (np.arange(4)[None, :]
+                 < np.asarray(STERIC_N_ATOM)[:, None])
+    return {"id": np.asarray(STERIC_IDS), "ref_pos": ref_pos,
+            "atom_mask": atom_mask}
+
+
+def _steric_energy(aff_input):
+    from upside_md_tpu.nodes.steric import _backbone_pairs
+    return _backbone_pairs(_steric_consts(), {}, (aff_input,), {})
+
+
+def _quat_mul_pure(i, q):
+    """(0, e_i) x (a, v) quaternion product (Hamilton, [a,b,c,d])."""
+    e = np.zeros(3)
+    e[i] = 1.0
+    a, v = q[0], np.asarray(q[1:4])
+    return np.concatenate([[-e @ v], a * e + np.cross(e, v)])
+
+
+def test_backbone_pairs_vs_golden():
+    """Value, translation gradient, and the torque identity: the
+    reference accumulates (force, torque) on the 7-wide affine output
+    (backbone_steric.cpp:135-143); the repo differentiates through
+    quat_to_rot, so dE/dtheta_i = 0.5 * dE/dq . (e_i x q) must equal the
+    reference torque."""
+    # the node indexes its input BY residue id (rows 0, 2, 3 live)
+    aff = np.zeros((max(STERIC_IDS) + 1, 7))
+    for nr, row in enumerate(STERIC_AFFINES):
+        aff[STERIC_IDS[nr]] = row
+    affj = jnp.asarray(aff, jnp.float64)
+
+    pot = float(_steric_energy(affj))
+    np.testing.assert_allclose(pot, STERIC_GOLDEN[0], rtol=1e-9)
+
+    g = np.asarray(jax.grad(_steric_energy)(affj))
+    for nr in range(3):
+        row = g[STERIC_IDS[nr]]
+        np.testing.assert_allclose(row[0:3], STERIC_GOLDEN[1][nr],
+                                   rtol=1e-8, atol=1e-12)
+        q = np.asarray(STERIC_AFFINES[nr][3:7])
+        torque = [0.5 * row[3:7] @ _quat_mul_pure(i, q) for i in range(3)]
+        np.testing.assert_allclose(torque, STERIC_GOLDEN[2][nr],
+                                   rtol=1e-8, atol=1e-12)
