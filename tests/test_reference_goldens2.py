@@ -276,6 +276,35 @@ def _ref_radial_edge(p, x1, x2):
     return v
 
 
+def _ref_integration_cycle(pos, mom, dt, integrator, max_force, deriv_fn):
+    """DerivEngine::integration_cycle + integration_stage
+    (src/deriv_engine.cpp:11-35, 172-192): three stages of
+    mom -= dt*mom_w[s]*clip(deriv); pos += dt*pos_w[s]*mom, with the
+    Predescu-2012 or Verlet stage weights and atan force clipping."""
+    pos = np.asarray(pos, np.float64).copy()
+    mom = np.asarray(mom, np.float64).copy()
+    a, b = ((0.108991425403425322, 0.290485609075128726)
+            if integrator == "predescu" else (1.0 / 6.0, 1.0 / 3.0))
+    mom_w = [1.5 - 3 * a, 1.5 - 3 * a, 6 * a]
+    pos_w = [3 * b, 3.0 - 6 * b, 3 * b]
+    for s in range(3):
+        d = np.asarray(deriv_fn(pos), np.float64)
+        if max_force:
+            f_mag = np.sqrt(np.sum(d * d, -1, keepdims=True)) + 1e-6
+            d = d * (np.arctan(f_mag * (0.5 * np.pi / max_force))
+                     * (max_force / f_mag * (2.0 / np.pi)))
+        mom = mom - dt * mom_w[s] * d
+        pos = pos + dt * pos_w[s] * mom
+    return pos, mom
+
+
+def _golden_deriv(pos):
+    """Toy anisotropic-spring derivative used by the integrator goldens —
+    pure math, written once and shared by generator and repo test."""
+    k = np.asarray([1.3, 0.4, 2.1])
+    return k * np.asarray(pos) + 0.2 * np.asarray(pos) ** 2
+
+
 # ---------------------------------------------------------------------------
 # Pinned inputs and committed golden literals
 # ---------------------------------------------------------------------------
@@ -381,6 +410,46 @@ STERIC_REF_POS = [
     [[1.1, 0.2, 0.0], [-0.4, 0.8, 0.3], [0.0, -0.7, -0.6], [0.0, 0.0, 0.0]],
     [[0.8, 0.4, -0.2], [-0.9, 0.1, 0.5], [0.3, -0.8, 0.1], [-0.2, 0.6, 0.7]],
 ]
+INTG_POS = [[0.3, -0.8, 0.5], [-0.4, 0.9, -0.2]]
+INTG_MOM = [[0.1, 0.05, -0.2], [0.0, -0.15, 0.3]]
+INTG_DT = 0.009
+INTG_GOLDEN = {  # integrator (or (integrator, max_force)) -> (pos, mom)
+    'verlet': ([[0.3025013168741639, -0.7985567001894053,
+                 0.49406682393322543],
+                [-0.399762850250019, 0.8956966532408723,
+                 -0.1917015630564987]],
+               [[0.08895117812877677, 0.05518298120921166,
+                 -0.2295808831435232],
+                [0.013174377780206647, -0.1640651596227555,
+                 0.3109742554292606]]),
+    'predescu': ([[0.3024820198961235, -0.798547588006583,
+                   0.49401442118497824],
+                  [-0.39973969403531656, 0.895671833186518,
+                   -0.19168174257478068]],
+                 [[0.08895783135939213, 0.05518317371805781,
+                   -0.22960307790013534],
+                  [0.013174460417148919, -0.16407062390811403,
+                   0.3110031475793298]]),
+    ('verlet', 0.5): ([[0.3026302399742287, -0.7986172433814508,
+                        0.49441278995709936],
+                       [-0.3998897276804244, 0.8958321982290508,
+                        -0.19180772782484393]],
+                      [[0.09611739010738989, 0.05182114469924304,
+                        -0.21039539917264596],
+                       [0.00613220761481348, -0.15654666587910887,
+                        0.30510825807502473]]),
+}
+
+# OU thermostat scales (thermostat.h:9-12): mom_scale = exp(-dt/tau),
+# noise_scale = sqrt(T*(1-mom_scale^2))
+OU_CASES = [  # (timescale, delta_t, temp, mom_scale, noise_scale)
+    (5.0, 0.027, 0.85, 0.9946145537913912, 0.09555420439938277),
+    # the reference thermalizes initial momenta with delta_t = 1e8:
+    # a pure Maxwell-Boltzmann draw (main.cpp:515-522)
+    (1.0, 1e8, 1.0, 0.0, 1.0),
+    (20.0, 0.009, 0.5, 0.9995501012348142, 0.021208431359634315),
+]
+
 STERIC_GOLDEN = (             # (potential, d (3,3), torque (3,3))
     13.385035526223998,
     [
@@ -428,6 +497,17 @@ def test_generator2_matches_literals():
     np.testing.assert_allclose(gp, STERIC_GOLDEN[0], rtol=1e-13)
     np.testing.assert_allclose(gd, STERIC_GOLDEN[1], rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(gt, STERIC_GOLDEN[2], rtol=1e-12, atol=1e-15)
+    for key, (ep, em) in INTG_GOLDEN.items():
+        integ, mf = key if isinstance(key, tuple) else (key, 0.0)
+        gp2, gm2 = _ref_integration_cycle(INTG_POS, INTG_MOM, INTG_DT,
+                                          integ, mf, _golden_deriv)
+        np.testing.assert_allclose(gp2, ep, rtol=1e-13)
+        np.testing.assert_allclose(gm2, em, rtol=1e-13)
+    for tau, dlt, temp, ms, ns in OU_CASES:
+        gms = np.exp(-dlt / tau)
+        np.testing.assert_allclose(gms, ms, rtol=1e-13)
+        np.testing.assert_allclose(np.sqrt(temp * (1 - gms * gms)), ns,
+                                   rtol=1e-13)
 
 
 # ---------------------------------------------------------------------------
@@ -535,6 +615,33 @@ def test_radial_edge_vs_golden():
         en = _radial_energy(p, jnp.asarray([x1], jnp.float64),
                             jnp.asarray([x2], jnp.float64), mask)
         np.testing.assert_allclose(float(en[0, 0]), v, rtol=1e-9, atol=1e-12)
+
+
+def test_integration_cycle_vs_golden():
+    from upside_md_tpu.md.integrator import integration_cycle
+
+    def deriv_fn(p, stage):
+        k = jnp.asarray([1.3, 0.4, 2.1], p.dtype)
+        return k * p + 0.2 * p * p
+
+    for key, (ep, em) in INTG_GOLDEN.items():
+        integ, mf = key if isinstance(key, tuple) else (key, 0.0)
+        pos, mom = integration_cycle(
+            deriv_fn, jnp.asarray(INTG_POS, jnp.float64),
+            jnp.asarray(INTG_MOM, jnp.float64), INTG_DT,
+            max_force=mf, integrator=integ)
+        np.testing.assert_allclose(np.asarray(pos), ep, rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(mom), em, rtol=1e-11)
+
+
+def test_ou_thermostat_vs_golden():
+    from upside_md_tpu.md.thermostat import OUThermostat
+    for tau, dlt, temp, ms, ns in OU_CASES:
+        th = OUThermostat(tau, dlt)
+        np.testing.assert_allclose(float(th.mom_scale), ms, rtol=1e-12)
+        np.testing.assert_allclose(
+            float(th.noise_scale(jnp.asarray(temp, jnp.float64))), ns,
+            rtol=1e-12)
 
 
 def _steric_consts():
