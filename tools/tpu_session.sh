@@ -46,6 +46,12 @@ run bench_all 7200 UPSIDE_BP_STACKED=$WINNER python tools/bench_all.py
 # on-device numeric gate runs inside bench.py; a win here promotes the flag
 run benchenv 3600 UPSIDE_BP_STACKED=$WINNER UPSIDE_FUSE_ENV=1 BENCH_TUNNEL_WAIT=600 python bench.py
 
+# ---- stage 2c: extrapolated BP warm start A/B (UPSIDE_BP_EXTRAP) -----------
+# CPU-measured: median 12 -> 8 sweeps on ubiquitin (tools/bp_extrap_exp.py);
+# this measures the end-to-end effect with the kernel-layout history
+run fullex 2400 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=1.0 python tools/perf_loop.py 64 30 --only=full
+run fullbase 2400 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30 --only=full
+
 # ---- stage 3: attribution extras ------------------------------------------
 run pieces 3600 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30
 run rbhi 2400 UPSIDE_RB_FWD=16 UPSIDE_RB_BWD=8 python tools/perf_loop.py 64 30 --only=fused

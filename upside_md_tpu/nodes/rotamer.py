@@ -58,7 +58,7 @@ def decode_bead_ids(packed_ids, n_bit_rotamer=4):
 
 
 def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2,
-              init=None):
+              init=None, return_iters=False):
     """Damped synchronous loopy BP on the dense residue grid.
 
     prob:  (R, 6)        unnormalized node potentials (zero at invalid slots)
@@ -108,6 +108,10 @@ def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2,
     else:
         nb0, eb0 = (jnp.asarray(init[0], prob.dtype),
                     jnp.asarray(init[1], prob.dtype))
+        # the cache stores sum-normalized beliefs but the sweep loop is
+        # max-normalized; rescale so the damping mix doesn't see a purely
+        # notational deviation (costs ~2 chunks of sweeps otherwise)
+        nb0 = nb0 / jnp.maximum(jnp.max(nb0, -1, keepdims=True), EPS)
 
     def cond(state):
         _, _, it, dev = state
@@ -126,10 +130,12 @@ def _bp_solve(prob, P, adj, valid, damping, max_iter, tol, chunk=2,
         dev = jnp.max(jnp.abs(nb - nb_prev))
         return nb, eb, it + chunk, dev
 
-    nb, eb, _, _ = jax.lax.while_loop(
+    nb, eb, iters, _ = jax.lax.while_loop(
         cond, body, (nb0, eb0, jnp.asarray(0), jnp.asarray(jnp.inf, prob.dtype)))
 
     nb = nb / jnp.maximum(jnp.sum(nb, -1, keepdims=True), EPS)
+    if return_iters:
+        return nb, eb, iters
     return nb, eb
 
 
@@ -269,6 +275,49 @@ def _use_pallas_bp(n_res):
             and n_res <= 128)
 
 
+def _extrap_alpha():
+    import os
+    v = os.environ.get("UPSIDE_BP_EXTRAP")
+    return float(v) if v else None
+
+
+def _extrapolate_beliefs(last, prev, alpha):
+    """Warm-start init extrapolated (log-space) from the last TWO force
+    evaluations' converged beliefs: m = m1 * (m1/m0)^alpha, clipped.
+
+    Positions move by O(dt/3) between evaluations, so the beliefs drift
+    smoothly; starting from the extrapolation instead of the last value
+    cuts the sweep count (measured on trajectory: median 12 -> 8 sweeps
+    on ubiquitin at alpha=1, tools/bp_extrap_exp.py).  BP converges to
+    the same fixed point from any positive init, so this changes only the
+    iteration count, never the answer beyond tol.  Handles both belief
+    layouts: XLA nb (R, 6)/eb (R, R, 6) and the Pallas kernels'
+    nb (128, 8 incl. diagnostics cols)/eb (6, 128, 128) planes."""
+    nb1, eb1 = last
+    nb0, eb0 = prev
+
+    def ex(m1, m0):
+        r = jnp.clip(m1 / jnp.maximum(m0, 1e-12), 0.1, 10.0)
+        m = m1 * r ** alpha
+        return jnp.where(m1 > 0, jnp.maximum(m, 1e-8), jnp.zeros_like(m1))
+
+    nbx = ex(nb1[..., :MAX_ROT], nb0[..., :MAX_ROT])
+    nbx = nbx / jnp.maximum(jnp.max(nbx, -1, keepdims=True), EPS)
+    if nb1.shape[-1] > MAX_ROT:   # diagnostics columns ride along
+        nbx = jnp.concatenate([nbx, nb1[..., MAX_ROT:]], axis=-1)
+
+    eb = ex(eb1, eb0)
+    # renormalize each extrapolated message across its rotamer-slot axis
+    # (last axis in the XLA layout, plane axis in the kernel layout);
+    # messages that did not move between the two steps — non-edges pinned
+    # at 1.0, or converged-identical edges — keep their stored value
+    ax = -1 if eb.shape[-1] == MAX_ROT else 0
+    s = jnp.sum(eb, axis=ax, keepdims=True)
+    moved = jnp.any(eb1 != eb0, axis=ax, keepdims=True)
+    eb = jnp.where(moved, eb / jnp.maximum(s, EPS), eb1)
+    return nbx, eb
+
+
 def _rotamer(consts, params, inputs, extra):
     n_res = int(consts["n_res"])
     static = (n_res, float(consts["damping"]), int(consts["max_iter"]),
@@ -278,8 +327,26 @@ def _rotamer(consts, params, inputs, extra):
     # System.energy_and_cache); BP converges to the same fixed point from
     # any init, so this only cuts iterations
     name = (extra or {}).get("_node_name")
-    init = (extra or {}).get("_cache", {}).get(name)
+    raw_init = (extra or {}).get("_cache", {}).get(name)
     cache_out = (extra or {}).get("_cache_out")
+
+    extrap = _extrap_alpha()
+    init = raw_init
+    if raw_init is not None:
+        if extrap is not None and len(raw_init) >= 4:
+            init = _extrapolate_beliefs((raw_init[0], raw_init[1]),
+                                        (raw_init[2], raw_init[3]), extrap)
+        else:
+            init = (raw_init[0], raw_init[1])
+
+    def cache_entry(nb_new, eb_new):
+        """(last, prev) belief history when extrapolating, last alone
+        otherwise; `prev` is the previous evaluation's raw solution."""
+        entry = (nb_new, eb_new)
+        if extrap is not None:
+            prev = raw_init if raw_init is not None else entry
+            entry = entry + (prev[0], prev[1])
+        return entry
 
     import os
     n_bead = len(consts["res"])
@@ -306,8 +373,8 @@ def _rotamer(consts, params, inputs, extra):
                                    jnp.asarray(S6), jnp.asarray(S6.T),
                                    valid, init)
         if cache_out is not None and name is not None:
-            cache_out[name] = (jax.lax.stop_gradient(nb),
-                               jax.lax.stop_gradient(eb))
+            cache_out[name] = cache_entry(jax.lax.stop_gradient(nb),
+                                          jax.lax.stop_gradient(eb))
         return F.astype(E1.dtype)
 
     E1, offset, prob, E2, adj, valid = assemble_rotamer_energies(
@@ -322,22 +389,30 @@ def _rotamer(consts, params, inputs, extra):
         F, nb, eb = bp_bethe_pallas(static, False, E1.astype(jnp.float32),
                                     E2planes, adj, jnp.asarray(valid), init)
         if cache_out is not None and name is not None:
-            cache_out[name] = (jax.lax.stop_gradient(nb),
-                               jax.lax.stop_gradient(eb))
+            cache_out[name] = cache_entry(jax.lax.stop_gradient(nb),
+                                          jax.lax.stop_gradient(eb))
         return F.astype(E1.dtype)
 
     P = jnp.exp(-E2)
     # solve (constant w.r.t. autodiff) and assemble the Bethe energy
-    nb, eb = _bp_solve(jax.lax.stop_gradient(prob), jax.lax.stop_gradient(P),
-                       adj, valid, consts["damping"], consts["max_iter"],
-                       consts["tol"],
-                       consts.get("iteration_chunk_size", 2), init=init)
+    debug_iters = bool(os.environ.get("UPSIDE_BP_DEBUG_ITERS"))
+    out = _bp_solve(jax.lax.stop_gradient(prob), jax.lax.stop_gradient(P),
+                    adj, valid, consts["damping"], consts["max_iter"],
+                    consts["tol"],
+                    consts.get("iteration_chunk_size", 2), init=init,
+                    return_iters=debug_iters)
+    nb, eb = out[0], out[1]
     if cache_out is not None and name is not None:
         # stored in f32 so the cache pytree keeps a stable structure in
         # lax.fori_loop carries regardless of the x64 mode
-        cache_out[name] = (
+        entry = cache_entry(
             jax.lax.stop_gradient(nb).astype(jnp.float32),
             jax.lax.stop_gradient(eb).astype(jnp.float32))
+        if debug_iters:
+            # observability parity with the Pallas kernels' diagnostics
+            # columns: ride the solve's sweep count through the cache
+            entry = entry + (out[2].astype(jnp.int32),)
+        cache_out[name] = entry
     return bethe_free_energy(E1, offset, P, adj, valid, nb, eb)
 
 
@@ -355,9 +430,18 @@ def _rot_init_cache(consts, params):
         nb0 = np.zeros((LANE, 8), np.float32)
         nb0[:n_res, :MAX_ROT] = valid.astype(np.float32)
         eb0 = np.ones((MAX_ROT, LANE, LANE), np.float32)
-        return (jnp.asarray(nb0), jnp.asarray(eb0))
-    return (jnp.asarray(valid, jnp.float32),
-            jnp.ones((n_res, n_res, MAX_ROT), jnp.float32))
+        entry = (jnp.asarray(nb0), jnp.asarray(eb0))
+        if _extrap_alpha() is not None:
+            entry = entry + entry   # (last, prev) history, initially equal
+        return entry
+    entry = (jnp.asarray(valid, jnp.float32),
+             jnp.ones((n_res, n_res, MAX_ROT), jnp.float32))
+    if _extrap_alpha() is not None:
+        entry = entry + entry
+    import os
+    if os.environ.get("UPSIDE_BP_DEBUG_ITERS"):
+        entry = entry + (jnp.asarray(0, jnp.int32),)
+    return entry
 
 
 def _rot_get_param(c, p):
