@@ -97,3 +97,31 @@ def test_extrap_same_energy_fewer_sweeps(rng, monkeypatch):
     assert len(cache_ex["rotamer"]) == 5
     np.testing.assert_allclose(e_ex, e_warm, rtol=1e-5, atol=1e-5)
     assert sum(it_ex) <= sum(it_warm)
+
+
+def test_damping_override_same_fixed_point(rng, monkeypatch):
+    """UPSIDE_BP_DAMPING only reshapes the convergence path: energies
+    match the config-damping solve to solver tolerance."""
+    monkeypatch.setenv("UPSIDE_BP_DEBUG_ITERS", "1")
+    specs, beads, e1, consts, table = make_bead_system(
+        rng, [3, 2, 4, 2, 3], spread=6.0)
+    # production-like solver settings (the fixture defaults to damping 0)
+    consts["damping"] = 0.4
+    consts["tol"] = 1e-6
+    system = build_system(1, specs)
+    params = system.make_params()
+
+    def one(env):
+        if env:
+            monkeypatch.setenv("UPSIDE_BP_DAMPING", env)
+        else:
+            monkeypatch.delenv("UPSIDE_BP_DAMPING", raising=False)
+        cache = system.init_cache()
+        e, cache = system.energy_and_cache(jnp.zeros((1, 3)), params,
+                                           cache=cache)
+        return float(e), int(cache["rotamer"][-1])
+
+    e_cfg, it_cfg = one(None)
+    e_low, it_low = one("0.1")
+    assert np.isclose(e_low, e_cfg, rtol=1e-4, atol=1e-4)
+    assert it_low <= it_cfg

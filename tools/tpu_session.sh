@@ -51,6 +51,9 @@ run benchenv 3600 UPSIDE_BP_STACKED=$WINNER UPSIDE_FUSE_ENV=1 BENCH_TUNNEL_WAIT=
 # this measures the end-to-end effect with the kernel-layout history
 run fullex 2400 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=1.0 python tools/perf_loop.py 64 30 --only=full
 run fullbase 2400 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30 --only=full
+# damping is schedule-only (same fixed point; tools/bp_damping_exp.py):
+# extrap + 0.1 damping measured mean 6.5 sweeps vs 11.7 at the 0.4 default
+run fulldamp 2400 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=1.0 UPSIDE_BP_DAMPING=0.1 python tools/perf_loop.py 64 30 --only=full
 
 # ---- stage 3: attribution extras ------------------------------------------
 run pieces 3600 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30
