@@ -64,7 +64,11 @@ def build_full_system(seq=UBIQUITIN, hbond_energy=-2.1119, seed=1,
     b.add_backbone_springs()
     b.add_rama_map_pot(_rama_maps(b.n_res))
     b.add_backbone_pairs()
-    b.add_rotamer_sidechains(sidechain_lib, sidechain_lib, damping=0.4,
+    # damping 0.1: solver schedule only (same fixed point as the reference
+    # default 0.4) — measured uniformly faster to tol with lower maxima and
+    # zero max_iter hits on all three BASELINE proteins, warm AND cold
+    # starts (tools/bp_damping_exp.py, BENCH_NOTES.md)
+    b.add_rotamer_sidechains(sidechain_lib, sidechain_lib, damping=0.1,
                              dynamic_1body=True)
     b.add_hbond(hbond_energy=hbond_energy, coverage_library=sidechain_lib)
     if os.path.exists(environment_lib):
