@@ -99,6 +99,37 @@ def test_extrap_same_energy_fewer_sweeps(rng, monkeypatch):
     assert sum(it_ex) <= sum(it_warm)
 
 
+def test_extrap_nb_only_mode(rng, monkeypatch):
+    """UPSIDE_BP_EXTRAP=nb:<a> keeps only node-belief history (3 cache
+    leaves + iters) and matches the plain warm start's answers."""
+    monkeypatch.setenv("UPSIDE_BP_DEBUG_ITERS", "1")
+    specs, beads, e1, consts, table = make_bead_system(
+        rng, [2, 3, 2, 4, 3], spread=6.0)
+    system = build_system(1, specs)
+    params = system.make_params()
+    drift = 0.02 * rng.normal(size=beads.shape)
+
+    def run(env):
+        if env:
+            monkeypatch.setenv("UPSIDE_BP_EXTRAP", env)
+        else:
+            monkeypatch.delenv("UPSIDE_BP_EXTRAP", raising=False)
+        cache = system.init_cache()
+        energies = []
+        for i in range(5):
+            p = dict(params)
+            p["constant"] = {"value": jnp.asarray(beads + i * drift)}
+            e, cache = system.energy_and_cache(
+                jnp.zeros((1, 3)), p, cache=cache)
+            energies.append(float(e))
+        return np.asarray(energies), cache
+
+    e_warm, _ = run(None)
+    e_nb, cache_nb = run("nb:1.0")
+    assert len(cache_nb["rotamer"]) == 4  # nb, eb, nb_prev, iters
+    np.testing.assert_allclose(e_nb, e_warm, rtol=1e-5, atol=1e-5)
+
+
 def test_damping_override_same_fixed_point(rng, monkeypatch):
     """UPSIDE_BP_DAMPING only reshapes the convergence path: energies
     match the config-damping solve to solver tolerance."""

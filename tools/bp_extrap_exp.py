@@ -41,10 +41,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def extrapolate(c1, c0, alpha, log_space=False):
-    """Candidate init from the last two cache entries (numpy, host side)."""
+def extrapolate(c1, c0, alpha, log_space=False, which="both"):
+    """Candidate init from the last two cache entries (numpy, host side).
+    which: extrapolate "both" arrays, only node beliefs ("nb"), or only
+    edge messages ("eb") — the cost asymmetry is large (eb is ~100x
+    bigger), so a one-sided variant that keeps most of the win pays."""
     nb1, eb1 = np.asarray(c1[0], np.float64), np.asarray(c1[1], np.float64)
     nb0, eb0 = np.asarray(c0[0], np.float64), np.asarray(c0[1], np.float64)
+    if which == "nb":
+        eb0 = eb1
+    elif which == "eb":
+        nb0 = nb1
 
     def ex(m1, m0):
         if log_space:
@@ -110,9 +117,9 @@ def main():
 
     strategies = {
         "warm": None,
-        "log1": (1.0, True),
-        "log15": (1.5, True),
-        "log2": (2.0, True),
+        "log1": (1.0, True, "both"),
+        "log1nb": (1.0, True, "nb"),
+        "log1eb": (1.0, True, "eb"),
     }
     counts = {k: [] for k in strategies}
     hist = []  # last two rotamer cache entries (numpy-backed jax arrays)
@@ -127,7 +134,7 @@ def main():
                 for name, cfg in strategies.items():
                     c = dict(cache)
                     if cfg is not None:
-                        c[rot] = extrapolate(hist[1], hist[0], cfg[0], cfg[1])
+                        c[rot] = extrapolate(hist[1], hist[0], *cfg)
                     counts[name].append(int(count_eval(pos_d, c)))
             g, cache = stage_eval(pos_d, cache)
             n_eval += 1
