@@ -173,14 +173,17 @@ def main():
     # BP solve health from the kernels' diagnostics columns (final sweep
     # deviation in col 6, sweep count in col 7 of the cached beliefs):
     # judge-visible evidence of the warm-start/damping schedule on device
-    tols = {s.name: float(s.consts["tol"]) for s in system.specs
-            if s.node_type.name == "rotamer"}
+    from upside_md_tpu.nodes.rotamer import bp_solve_health
+    rot_specs = {s.name: s for s in system.specs
+                 if s.node_type.name == "rotamer"}
     for cname, cval in (state.cache or {}).items():
-        arr = np.asarray(cval[0]) if isinstance(cval, tuple) else None
-        if arr is not None and arr.ndim == 3 and arr.shape[-1] >= 8:
-            record["bp_sweeps_mean"] = round(float(arr[:, 0, 7].mean()), 2)
-            record["bp_n_bad_solve"] = int(
-                (arr[:, 0, 6] > tols.get(cname, 1e-3)).sum())
+        if cname not in rot_specs:
+            continue
+        health = bp_solve_health(cval)
+        if health is not None:
+            tol = float(rot_specs[cname].consts.get("tol", 1e-3))
+            record["bp_sweeps_mean"] = round(float(health[1].mean()), 2)
+            record["bp_n_bad_solve"] = int((health[0] > tol).sum())
     print(json.dumps(record))
 
 

@@ -69,6 +69,9 @@ def test_extrap_same_energy_fewer_sweeps(rng, monkeypatch):
     monkeypatch.setenv("UPSIDE_BP_DEBUG_ITERS", "1")
     specs, beads, e1, consts, table = make_bead_system(
         rng, [2, 3, 2, 4, 3], spread=6.0)
+    # realistic solver tolerance: the fixture's 1e-10 saturates max_iter
+    # in f32, which would make sweep counts meaningless
+    consts["tol"] = 1e-5
     system = build_system(1, specs)
     params = system.make_params()
 
@@ -105,6 +108,7 @@ def test_extrap_nb_only_mode(rng, monkeypatch):
     monkeypatch.setenv("UPSIDE_BP_DEBUG_ITERS", "1")
     specs, beads, e1, consts, table = make_bead_system(
         rng, [2, 3, 2, 4, 3], spread=6.0)
+    consts["tol"] = 1e-5   # see test_extrap_same_energy_fewer_sweeps
     system = build_system(1, specs)
     params = system.make_params()
     drift = 0.02 * rng.normal(size=beads.shape)
@@ -128,6 +132,24 @@ def test_extrap_nb_only_mode(rng, monkeypatch):
     e_nb, cache_nb = run("nb:1.0")
     assert len(cache_nb["rotamer"]) == 4  # nb, eb, nb_prev, iters
     np.testing.assert_allclose(e_nb, e_warm, rtol=1e-5, atol=1e-5)
+
+
+def test_bp_solve_health_any_history_length():
+    """The diagnostics reader accepts 2-, 3-, and 4-leaf cache entries
+    (plain warm start, nb-only history, both-array history) and rejects
+    XLA-layout entries without padding columns."""
+    from upside_md_tpu.nodes.rotamer import bp_solve_health
+    nb = np.zeros((4, 128, 8), np.float32)
+    nb[:, :, 6] = 2e-3   # final deviation
+    nb[:, :, 7] = 6.0    # sweep count
+    eb = np.ones((4, 6, 128, 128), np.float32)
+    for entry in [(nb, eb), (nb, eb, nb), (nb, eb, nb, eb)]:
+        dev, iters = bp_solve_health(entry)
+        assert dev.shape == (4,) and np.allclose(dev, 2e-3)
+        assert np.allclose(iters, 6.0)
+    # XLA-path entry: (R, 6) beliefs carry no diagnostics columns
+    assert bp_solve_health((np.zeros((5, 6)), np.ones((5, 5, 6)))) is None
+    assert bp_solve_health(None) is None
 
 
 def test_damping_override_same_fixed_point(rng, monkeypatch):

@@ -8,11 +8,11 @@ tol itself.  The reference ships damping=0.4 (rotamer.cpp solver
 defaults); this measures whether a lighter mix converges in fewer sweeps
 at production tol on a real trajectory.
 
-Method: run the production trajectory once (warm-started, damping 0.4),
-recording positions and the warm-start cache before every force
-evaluation; converged beliefs are strategy- and damping-independent (same
-fixed point), so each (damping, init) candidate can be counted against
-that shared history.  Candidates that hit max_iter are reported — a
+Method: run the production trajectory once (warm-started, at whatever
+damping the bench config ships), recording positions and the warm-start
+cache before every force evaluation; converged beliefs are strategy- and
+damping-independent (same fixed point), so each (damping, init)
+candidate can be counted against that shared history.  Candidates that hit max_iter are reported — a
 damping that fails to converge changes answers and is disqualified.
 
 Usage:  python tools/bp_damping_exp.py [n_rounds] [seq]
@@ -51,6 +51,7 @@ def main():
     rot = [s.name for s in system.specs if s.node_type.name == "rotamer"][0]
     rot_spec = [s for s in system.specs if s.name == rot][0]
     max_iter = int(rot_spec.consts["max_iter"])
+    config_damping = float(rot_spec.consts["damping"])
 
     @jax.jit
     def stage_eval(p, cache):
@@ -124,7 +125,7 @@ def main():
                     f"{np.percentile(v, 90):4.0f} {v.max():4d} "
                     f"{(v >= max_iter).sum():3d} ")
         print(row, flush=True)
-    rot_spec.consts["damping"] = 0.4
+    rot_spec.consts["damping"] = config_damping
 
 
 if __name__ == "__main__":

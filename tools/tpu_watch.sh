@@ -10,7 +10,10 @@ cd /root/repo
 mkdir -p bench_logs
 STATUS=bench_logs/tunnel_status
 while true; do
-  if timeout 180 python -c "import jax; print(jax.devices())" > "$STATUS.probe" 2>&1; then
+  # alive = devices() answered AND did not fall back to CPU (a CPU
+  # fallback would burn the one-shot session on the wrong backend)
+  if timeout 180 python -c "import jax; print(jax.devices())" > "$STATUS.probe" 2>&1 \
+      && ! grep -qi cpudevice "$STATUS.probe"; then
     echo "alive $(date)" >> "$STATUS"
     exec bash tools/tpu_session.sh
   fi

@@ -255,18 +255,18 @@ def main(argv=None):
             # kernels write (final deviation, iteration count) into nb
             # padding columns 6/7 (reference n_bad_solve,
             # rotamer.cpp:657-659)
+            from .nodes.rotamer import bp_solve_health
             for cname, cval in (state.cache or {}).items():
-                if (system.by_name[cname].node_type.name == "rotamer"
-                        and isinstance(cval, tuple) and len(cval) == 2
-                        and getattr(cval[0], "ndim", 0) == 3
-                        and cval[0].shape[-1] >= 8):
+                if system.by_name[cname].node_type.name != "rotamer":
+                    continue
+                health = bp_solve_health(cval)
+                if health is not None:
                     ctol = float(system.by_name[cname].consts.get(
                         "tol", 1e-3))
-                    diag = np.asarray(cval[0][:, 0, 6:8])
                     mc_streams[f"{cname}_n_bad_solve"] = \
-                        (diag[:, 0] > ctol).astype(np.int32)
+                        (health[0] > ctol).astype(np.int32)
                     mc_streams[f"{cname}_solve_iters"] = \
-                        diag[:, 1].astype(np.int32)
+                        health[1].astype(np.int32)
             for ns, lg in enumerate(loggers):
                 lg.log_frame("pos", pos_np[ns][None])
                 lg.log_frame("kinetic", np.array([kin[ns]]))

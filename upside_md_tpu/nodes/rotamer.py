@@ -275,6 +275,22 @@ def _use_pallas_bp(n_res):
             and n_res <= 128)
 
 
+def bp_solve_health(cache_entry):
+    """Per-replica (final deviation, sweep count) from a threaded BP
+    cache entry, or None when the entry carries no diagnostics columns
+    (XLA-path caches).  The Pallas kernels write them into the belief
+    array's padding columns 6/7 (the reference's n_bad_solve signal,
+    rotamer.cpp:657-659); extrapolation history leaves behind the first
+    two do not affect the location."""
+    if not isinstance(cache_entry, tuple) or len(cache_entry) < 2:
+        return None
+    nb = cache_entry[0]
+    if getattr(nb, "ndim", 0) == 3 and nb.shape[-1] >= 8:
+        diag = np.asarray(nb[:, 0, 6:8])
+        return diag[:, 0], diag[:, 1]
+    return None
+
+
 def _extrap_cfg():
     """UPSIDE_BP_EXTRAP: "<alpha>" extrapolates node beliefs AND edge
     messages; "nb:<alpha>" node beliefs only.  nb-only keeps ~94% of the
