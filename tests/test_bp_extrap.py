@@ -78,10 +78,8 @@ def test_extrap_same_energy_fewer_sweeps(rng, monkeypatch):
     drift = 0.02 * rng.normal(size=beads.shape)
 
     def run(extrap):
-        if extrap:
-            monkeypatch.setenv("UPSIDE_BP_EXTRAP", "1.0")
-        else:
-            monkeypatch.delenv("UPSIDE_BP_EXTRAP", raising=False)
+        # "off" (not unset): plain warm start is no longer the default
+        monkeypatch.setenv("UPSIDE_BP_EXTRAP", "1.0" if extrap else "off")
         cache = system.init_cache()
         energies, iters = [], []
         for i in range(6):
@@ -114,10 +112,7 @@ def test_extrap_nb_only_mode(rng, monkeypatch):
     drift = 0.02 * rng.normal(size=beads.shape)
 
     def run(env):
-        if env:
-            monkeypatch.setenv("UPSIDE_BP_EXTRAP", env)
-        else:
-            monkeypatch.delenv("UPSIDE_BP_EXTRAP", raising=False)
+        monkeypatch.setenv("UPSIDE_BP_EXTRAP", env or "off")
         cache = system.init_cache()
         energies = []
         for i in range(5):

@@ -41,6 +41,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def extrapolate3(c2, c1, c0, which="nb"):
+    """Quadratic (3-point) log-space extrapolation: L3 = 3L2 - 3L1 + L0,
+    applied to node beliefs only by default."""
+    nb2, nb1, nb0 = (np.asarray(c[0], np.float64) for c in (c2, c1, c0))
+    L2, L1, L0 = (np.log(np.maximum(m, 1e-12)) for m in (nb2, nb1, nb0))
+    m = np.exp(np.clip(3 * L2 - 3 * L1 + L0, L2 - 2.5, L2 + 2.5))
+    nb = np.where(nb2 > 0, np.maximum(m, 1e-8), 0.0)
+    nb = nb / np.maximum(nb.max(-1, keepdims=True), 1e-10)
+    out = (jnp.asarray(nb, jnp.float32), jnp.asarray(c2[1]))
+    if len(c2) > 2:
+        out = out + tuple(c2[2:])
+    return out
+
+
 def extrapolate(c1, c0, alpha, log_space=False, which="both"):
     """Candidate init from the last two cache entries (numpy, host side).
     which: extrapolate "both" arrays, only node beliefs ("nb"), or only
@@ -119,10 +133,10 @@ def main():
         "warm": None,
         "log1": (1.0, True, "both"),
         "log1nb": (1.0, True, "nb"),
-        "log1eb": (1.0, True, "eb"),
+        "quadnb": "quad",
     }
     counts = {k: [] for k in strategies}
-    hist = []  # last two rotamer cache entries (numpy-backed jax arrays)
+    hist = []  # last three rotamer cache entries (numpy-backed jax arrays)
 
     n_eval = 0
     for nr in range(n_rounds):
@@ -130,17 +144,19 @@ def main():
             key = stream_key(state.seed, THERMOSTAT_STREAM, nr + 1)
             mom = sim.thermostat.apply(key, mom, state.temperature)
         for stage in range(3):
-            if len(hist) == 2:
+            if len(hist) == 3:
                 for name, cfg in strategies.items():
                     c = dict(cache)
-                    if cfg is not None:
-                        c[rot] = extrapolate(hist[1], hist[0], *cfg)
+                    if cfg == "quad":
+                        c[rot] = extrapolate3(hist[2], hist[1], hist[0])
+                    elif cfg is not None:
+                        c[rot] = extrapolate(hist[2], hist[1], *cfg)
                     counts[name].append(int(count_eval(pos_d, c)))
             g, cache = stage_eval(pos_d, cache)
             n_eval += 1
             mom = mom - (dt * mom_w[stage]) * g
             pos_d = pos_d + (dt * pos_w[stage]) * mom
-            hist = (hist + [cache[rot]])[-2:]
+            hist = (hist + [cache[rot]])[-3:]
         if nr % 10 == 0:
             done = {k: len(v) for k, v in counts.items()}["warm"]
             print(f"round {nr}: {done} measured evals", flush=True)

@@ -51,7 +51,7 @@ run benchenv 3600 UPSIDE_BP_STACKED=$WINNER UPSIDE_FUSE_ENV=1 BENCH_TUNNEL_WAIT=
 # this measures the end-to-end effect with the kernel-layout history
 run fullex 2400 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=1.0 python tools/perf_loop.py 64 30 --only=full
 run fullexnb 2400 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=nb:1.0 python tools/perf_loop.py 64 30 --only=full
-run fullbase 2400 UPSIDE_BP_STACKED=$WINNER python tools/perf_loop.py 64 30 --only=full
+run fullbase 2400 UPSIDE_BP_STACKED=$WINNER UPSIDE_BP_EXTRAP=off python tools/perf_loop.py 64 30 --only=full
 # bench systems now build at damping 0.1 (measured schedule win,
 # tools/bp_damping_exp.py); quantify the change by re-running the
 # reference-default 0.4 schedule via the override

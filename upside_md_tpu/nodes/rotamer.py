@@ -299,8 +299,13 @@ def _extrap_cfg():
     history shrinks from the (6,128,128) message planes to one (128,8)
     belief array per replica."""
     import os
-    v = os.environ.get("UPSIDE_BP_EXTRAP")
-    if not v:
+    # default: nb-only linear log-space extrapolation — measured strictly
+    # fewer sweeps than the plain warm start on every system tried, at
+    # one extra (128, 8) history array of cost; quadratic (3-point)
+    # extrapolation measured WORSE (noise amplification across
+    # thermostat kicks), see BENCH_NOTES.md
+    v = os.environ.get("UPSIDE_BP_EXTRAP", "nb:1.0")
+    if not v or v.lower() in ("0", "off", "none"):
         return None
     if v.startswith("nb:"):
         return (float(v[3:]), "nb")
