@@ -192,6 +192,33 @@ def test_replica_exchange_energy_carry_paths_agree(rng):
                                    rtol=1e-12)
 
 
+def test_replica_exchange_aux_travels_with_configurations(rng):
+    """A solver cache passed as aux is permuted exactly like the
+    positions: after swaps, the aux entry tagging configuration k sits in
+    whatever slot holds configuration k."""
+    n_rep, n_atom = 6, 5
+    sys = harmonic_system(n_atom)
+    params = sys.make_params()
+    pos = jnp.asarray(rng.normal(size=(n_rep, n_atom, 3)))
+    beta = jnp.asarray(1.0 / (0.8 + 0.1 * np.arange(n_rep)))
+    rex = ReplicaExchange(even_odd_swap_sets(n_rep), n_rep)
+    energy_of = jax.vmap(lambda p: sys.energy(p, params))
+    # tag each slot's cache with its original configuration id, in two
+    # different leaf shapes (belief-array-like and scalar-like)
+    aux = {"node": (jnp.arange(n_rep, dtype=jnp.float32)[:, None, None]
+                    * jnp.ones((n_rep, 3, 8), jnp.float32),
+                    jnp.arange(n_rep, dtype=jnp.int32))}
+    new_pos, idx, _, _, new_aux = rex.attempt_swaps(
+        jax.random.PRNGKey(5), pos, jnp.arange(n_rep), beta, energy_of,
+        slot_independent=True, aux=aux)
+    # idx[s] = original slot whose configuration now sits in slot s
+    idx = np.asarray(idx)
+    np.testing.assert_allclose(np.asarray(new_pos), np.asarray(pos)[idx])
+    np.testing.assert_array_equal(
+        np.asarray(new_aux["node"][1]), idx.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(new_aux["node"][0][:, 0, 0]), idx)
+
+
 def test_hamiltonian_selective_param_stacking(rng):
     """A Hamiltonian ensemble advanced with only the differing leaves
     stacked (stack_param_ensembles spec) matches the fully-stacked path

@@ -87,10 +87,10 @@ def rex_steps_per_sec(system, params, pos, n_replica=64, n_rounds_total=60,
         for _ in range(n_rounds_total // rex_every):
             state[0] = sim.advance(state[0], params, rex_every, True)
             key = stream_key(1234, REPLICA_EXCHANGE_STREAM, round_done[0])
-            new_pos, ridx[0], stats[0], _ = rex.attempt_swaps(
+            new_pos, ridx[0], stats[0], _, ncache = rex.attempt_swaps(
                 key, state[0].pos, ridx[0], beta, energy_of, stats[0],
-                slot_independent=True)
-            state[0] = state[0]._replace(pos=new_pos)
+                slot_independent=True, aux=state[0].cache)
+            state[0] = state[0]._replace(pos=new_pos, cache=ncache)
             round_done[0] += rex_every
 
     t = timed(chunk, lambda: float(jnp.sum(state[0].pos)))
@@ -147,9 +147,10 @@ def hamiltonian_rex_steps_per_sec(n_replica=64, n_rounds_total=60,
         for _ in range(n_rounds_total // rex_every):
             state[0] = sim.advance(state[0], mixed, rex_every, True, spec)
             key = stream_key(1234, REPLICA_EXCHANGE_STREAM, round_done[0])
-            new_pos, ridx[0], stats[0], _ = rex.attempt_swaps(
-                key, state[0].pos, ridx[0], beta, energy_of, stats[0])
-            state[0] = state[0]._replace(pos=new_pos)
+            new_pos, ridx[0], stats[0], _, ncache = rex.attempt_swaps(
+                key, state[0].pos, ridx[0], beta, energy_of, stats[0],
+                aux=state[0].cache)
+            state[0] = state[0]._replace(pos=new_pos, cache=ncache)
             round_done[0] += rex_every
 
     t = timed(chunk, lambda: float(jnp.sum(state[0].pos)))

@@ -303,10 +303,13 @@ def main(argv=None):
 
         if replica_interval and done % replica_interval == 0 and rex:
             key = stream_key(args.seed, REPLICA_EXCHANGE_STREAM, done)
-            new_pos, replica_index, rex_stats, _ = rex.attempt_swaps(
-                key, state.pos, replica_index, beta, energy_of, rex_stats,
-                slot_independent=not hamiltonian)
-            state = state._replace(pos=new_pos)
+            # the solver warm-start cache swaps WITH the configurations
+            new_pos, replica_index, rex_stats, _, new_cache = \
+                rex.attempt_swaps(
+                    key, state.pos, replica_index, beta, energy_of,
+                    rex_stats, slot_independent=not hamiltonian,
+                    aux=state.cache)
+            state = state._replace(pos=new_pos, cache=new_cache)
 
     elapsed = time.time() - t_start
     print(f"\nfinished in {elapsed:.1f} seconds "

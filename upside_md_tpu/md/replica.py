@@ -59,7 +59,8 @@ class ReplicaExchange:
         return perms
 
     def attempt_swaps(self, key, pos, replica_index, beta, energy_of_pos,
-                      stats=None, energies=None, slot_independent=False):
+                      stats=None, energies=None, slot_independent=False,
+                      aux=None):
         """One exchange round over all swap sets.
 
         energy_of_pos: (n_rep, n_atom, 3) -> (n_rep,) energies, evaluated
@@ -74,9 +75,18 @@ class ReplicaExchange:
         post-swap energy of each slot is one of the two values already
         evaluated for the Metropolis test.
 
-        Returns (pos, replica_index, stats, energies) where stats
-        accumulates (n_success, n_attempt) per swap pair per set and
-        energies are the per-slot energies of the returned positions.
+        aux: optional pytree with leading replica axis (e.g. the per-slot
+        solver warm-start cache) that travels WITH the configurations:
+        swapped slots receive the swapped entries.  The reference leaves
+        its BP message state with the process across exchanges (stale
+        warm starts after accepted swaps); permuting the cache alongside
+        keeps warm starts (and their extrapolation history) matched to
+        the conformation they solved.
+
+        Returns (pos, replica_index, stats, energies[, aux]) — aux is
+        appended iff it was passed; stats accumulates (n_success,
+        n_attempt) per swap pair per set and energies are the per-slot
+        energies of the returned positions.
         """
         if stats is None:
             stats = [jnp.zeros((len(p), 2), jnp.int32) for p in self.swap_sets]
@@ -109,8 +119,15 @@ class ReplicaExchange:
             energies = jnp.where(accept_rep, new_energies, energies)
             replica_index = jnp.where(accept_rep, replica_index[perm],
                                       replica_index)
+            if aux is not None:
+                aux = jax.tree.map(
+                    lambda x: jnp.where(
+                        accept_rep.reshape((-1,) + (1,) * (x.ndim - 1)),
+                        x[perm], x), aux)
             new_stats.append(stats[si] + jnp.stack(
                 [accept.astype(jnp.int32), jnp.ones_like(pa, jnp.int32)], -1))
+        if aux is not None:
+            return pos, replica_index, new_stats, energies, aux
         return pos, replica_index, new_stats, energies
 
 
