@@ -23,6 +23,9 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["UPSIDE_BP_DEBUG_ITERS"] = "1"
+# candidate inits are constructed HERE; the node's own (default-on)
+# extrapolation must not stack on top of them
+os.environ["UPSIDE_BP_EXTRAP"] = "off"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -31,6 +31,9 @@ import sys
 # JAX_PLATFORMS=axon (remote TPU), and a wedged tunnel hangs jax.devices()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["UPSIDE_BP_DEBUG_ITERS"] = "1"
+# candidate inits are constructed HERE; the node's own (default-on)
+# extrapolation must not stack on top of them
+os.environ["UPSIDE_BP_EXTRAP"] = "off"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -121,7 +124,7 @@ def main():
     @jax.jit
     def count_eval(p, cache):
         _, new_cache = system.energy_and_cache(p, params, cache=cache)
-        return new_cache[rot][2]
+        return new_cache[rot][-1]   # iters leaf is always last
 
     state = sim.initial_state(pos, params, seed=1234, temperature=0.85)
     pos_d, mom = state.pos, state.mom
