@@ -563,8 +563,18 @@ def _t_tall(X):
 
 
 def _stack_cols(ref2d, n=NROT):
-    """(128, >=n) -> (n*128, 1): row a*128+i = ref2d[i, a]."""
-    return jnp.concatenate([ref2d[:, a:a + 1] for a in range(n)], axis=0)
+    """(128, >=n) -> (n*128, 1): row a*128+i = ref2d[i, a].
+
+    Each block is extracted as a one-hot masked row reduction rather than
+    a ``ref2d[:, a:a+1]`` lane slice: Mosaic refuses to concatenate
+    vectors whose lane offsets differ on a non-concat dimension
+    ("result/input offset mismatch", measured on-device 2026-08-18), and
+    the reduction lands every block at lane offset 0.  Runs once per
+    solve at prep time, so the extra n multiplies are noise."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, ref2d.shape, 1)
+    return jnp.concatenate(
+        [jnp.sum(jnp.where(cols == a, ref2d, 0.0), axis=1, keepdims=True)
+         for a in range(n)], axis=0)
 
 
 def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
