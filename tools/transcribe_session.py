@@ -81,7 +81,7 @@ def main():
 
     # ---- schedule-flag full-advance A/B --------------------------------
     sched = []
-    for name in ("fullbase", "fullex", "fullexnb", "fulldamp04"):
+    for name in ("fullbase", "fullenv", "fullex", "fullexnb", "fulldamp04"):
         p = os.path.join(d, f"{name}.log")
         if os.path.exists(p):
             for line in timing_lines(p):
