@@ -25,6 +25,18 @@ import os
 import sys
 import time
 
+# Session escape hatch: stacked-BP variants hit pathological Mosaic
+# compiles on the real chip (>17 min vs 3 min for the per-plane kernel).
+# Touching this sentinel makes queued stacked-variant steps exit before
+# ever claiming the tunnel, so a serialized session falls through to its
+# later stages with the per-plane winner.
+if (os.environ.get("UPSIDE_BP_STACKED", "0") != "0"
+        and os.path.exists(os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "bench_logs", "SKIP_STACKED"))):
+    print("skipped: stacked BP variants disabled via bench_logs/SKIP_STACKED")
+    sys.exit(0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
