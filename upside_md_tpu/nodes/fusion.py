@@ -171,11 +171,14 @@ def plan_pair_fusion(specs) -> Optional[PairFusionPlan]:
     # run at the first member's turn.  Validate that move: every fused
     # input must precede the second coverage spec, and nothing between the
     # two coverage specs may consume the first one's output.
-    # optional environment-coverage band (UPSIDE_FUSE_ENV=1): the env
-    # node's pair columns must be exactly the rotamer bead rows, via
-    # weighted_pos's index_pos, and its CB probes must fit one row tile.
+    # environment-coverage band (default on — round-3 A/B winner on a
+    # real v5e: full advance 7.838 ms/eval fused vs 8.046 unfused at 64
+    # replicas, bench_logs/r3c_0819_0331/env_decision; UPSIDE_FUSE_ENV=0
+    # opts out): the env node's pair columns must be exactly the rotamer
+    # bead rows, via weighted_pos's index_pos, and its CB probes must fit
+    # one row tile.
     env = env_cb = env_wp = None
-    if os.environ.get('UPSIDE_FUSE_ENV'):
+    if os.environ.get('UPSIDE_FUSE_ENV', '1') not in ('0', 'off', ''):
         envs = [s for s in specs
                 if s.node_type.name == "environment_coverage"]
         by_name = {s.name: s for s in specs}

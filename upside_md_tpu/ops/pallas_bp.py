@@ -868,10 +868,11 @@ def _stacked_default():
     """Kernel-variant switch for on-device A/B measurement:
     0 = original per-plane kernel, 1 = stacked (concat tiling),
     2 = stacked with leading-dim broadcast tiling, 3 = 2 + whole-array
-    transposes.  Default stays on the measured per-plane kernel until the
-    stacked variants' Mosaic lowering and throughput are validated on a
-    real chip (tools/tpu_session.sh runs the A/B)."""
-    return int(os.environ.get("UPSIDE_BP_STACKED", "0"))
+    transposes.  Default is variant 2, the round-3 A/B winner on a real
+    v5e chip (warm fwd+VJP 2.416 ms vs 2.663 for the per-plane kernel at
+    64 replicas, on-device cold-solve cross-check rel err 4.5e-6 —
+    bench_logs/r3c_0819_0331/bp{0,2}.log)."""
+    return int(os.environ.get("UPSIDE_BP_STACKED", "2"))
 
 
 @functools.lru_cache(maxsize=None)
