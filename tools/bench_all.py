@@ -185,8 +185,31 @@ def chi1_latency():
     def run():
         out[0] = sens_fn(pos)
 
-    t = timed(run, lambda: float(jnp.sum(out[0])), n=5)
-    return t
+    t_total = timed(run, lambda: float(jnp.sum(out[0])), n=5)
+
+    # Device compute separated from the tunnel's ~27 ms per-dispatch round
+    # trip (VERDICT round 3 #8): chain K evals inside one jit so dispatch
+    # cost amortizes away; each iteration perturbs the position by a value
+    # derived from the previous output so no eval can be cached/replayed.
+    # The reference's paper metric is CPU-seconds of pure compute
+    # (predict_chi1.py:103-113) — t_dev is the comparable number.
+    K = 30
+
+    @jax.jit
+    def chained(p):
+        def body(_, carry):
+            p, acc = carry
+            s = system.get_sens(p, params, 'hbond_coverage')
+            return p + 1e-9 * jnp.sum(s) * jnp.sign(p), acc + jnp.sum(s)
+        return jax.lax.fori_loop(0, K, body, (p, 0.0))[1]
+
+    res = [None]
+
+    def run_chained():
+        res[0] = chained(pos)
+
+    t_dev = timed(run_chained, lambda: float(res[0]), n=3) / K
+    return t_dev, t_total
 
 
 def main():
@@ -218,7 +241,7 @@ def main():
         lambda: md_steps_per_sec(sysg, pg, posg, 64))
 
     sysu, pu, posu, _ = build_full_system(seq=UBIQUITIN)
-    for n in (8, 32, 64, 128, 256):
+    for n in (8, 32, 64, 128, 256, 384, 512):
         row(f"full FF 76-res ubiquitin, {n} rep",
             lambda n=n: md_steps_per_sec(sysu, pu, posu, n))
 
@@ -235,9 +258,11 @@ def main():
     row("full FF 104-res cyt-c 64-replica H-rex incl. swaps", hrex)
 
     try:
-        t = chi1_latency()
+        t_dev, t_total = chi1_latency()
         print(f"{'chi1 prediction latency (76-res, eval+marginals)':55s} "
-              f"{t*1e3:10.2f} ms")
+              f"{t_dev*1e3:10.2f} ms device compute "
+              f"(+ {(t_total-t_dev)*1e3:.1f} ms tunnel dispatch RTT, "
+              f"{t_total*1e3:.2f} ms total one-shot)")
     except Exception:
         print("chi1 prediction latency: ERROR", flush=True)
         traceback.print_exc()

@@ -89,6 +89,13 @@ def main():
         only = set()
     n_rep = int(args[0]) if len(args) > 0 else 64
     n_iters = int(args[1]) if len(args) > 1 else 30
+    if prefix_stride:
+        # Prefix attribution walks the NON-fused node list; with the env
+        # band fused (default since round 4) the env chain's consumers
+        # would reference a node the fused kernel now owns.  Pin fusion to
+        # the round-3 shape so "upstream" keeps meaning the same set of
+        # nodes across rounds (env chain included, XLA path).
+        os.environ["UPSIDE_FUSE_ENV"] = "0"
     system, params, pos, aux = build_full_system(seq=UBIQUITIN)
     pos = jnp.asarray(pos)
     posb = jnp.broadcast_to(pos, (n_rep,) + pos.shape) \
