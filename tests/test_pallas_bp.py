@@ -201,7 +201,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     outs = {}
     for stacked in (0, 1, 2, 3):
         outs[stacked] = _bp_pairs_impl(
-            E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
+            E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked, 1,
             E1[None], E_pair[None], S6j, S6Tj, valid, None)
     check(outs)
 
@@ -209,7 +209,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     _, _, _, nb0, eb0 = outs[1]
     for stacked in (0, 1, 2, 3):
         outs[stacked] = _bp_pairs_impl(
-            E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked,
+            E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked, 1,
             1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
             (nb0, eb0))
     check(outs)
@@ -292,3 +292,48 @@ def test_md_with_cache_matches_plain_energy(rng):
     e_plain = sys.energy(state2.pos, params)
     assert np.isfinite(float(e_plain))
     assert abs(float(e_cached) - float(e_plain)) < 1e-3
+
+
+def test_pairs_kernel_replica_blocked_matches_single(rng):
+    """UPSIDE_BP_RB > 1: the replica-blocked kernel batches the four exact
+    scatter dots across the block but runs each replica's solve alone —
+    values, envelope gradients, and warm-start messages must agree with
+    the one-replica-per-step kernel to float reorder."""
+    from upside_md_tpu.ops.pallas_bp import _bp_pairs_impl
+
+    E1, E_pair, S6, valid, res, rot, contact = make_bead_problem(rng,
+                                                                 n_res=11)
+    S6j, S6Tj = jnp.asarray(S6), jnp.asarray(S6.T)
+    B = 4
+    E1b = jnp.stack([E1 + 0.05 * i for i in range(B)])
+    Epb = jnp.stack([E_pair * (1.0 + 0.03 * i) for i in range(B)])
+
+    def run(rb, init=None):
+        return _bp_pairs_impl(E1.shape[0], 0.4, 1000, 1e-4, 2, True,
+                              False, 2, rb, E1b, Epb, S6j, S6Tj, valid,
+                              init)
+
+    def check(a_outs, b_outs, tag):
+        for a, b, name in zip(a_outs, b_outs, ("F", "G1", "dE", "nb",
+                                               "eb")):
+            a, b = np.asarray(a), np.asarray(b)
+            if name == "nb":
+                np.testing.assert_array_equal(b[..., 7], a[..., 7],
+                                              err_msg=f"iters ({tag})")
+                np.testing.assert_allclose(b[..., 6], a[..., 6],
+                                           rtol=5e-2, atol=1e-6,
+                                           err_msg=f"dev ({tag})")
+                a, b = a[..., :6], b[..., :6]
+            np.testing.assert_allclose(b, a, rtol=5e-5, atol=2e-5,
+                                       err_msg=f"{name} ({tag})")
+
+    base = run(1)
+    for rb in (2, 4):
+        check(base, run(rb), f"rb={rb} cold")
+    # rb=3 does not divide 4 -> clamps to the largest divisor (2)
+    check(base, run(3), "rb=3 clamped")
+
+    _, _, _, nb0, eb0 = base
+    basew = run(1, (nb0, eb0))
+    for rb in (2, 4):
+        check(basew, run(rb, (nb0, eb0)), f"rb={rb} warm")

@@ -279,9 +279,11 @@ def main():
     # compute identical sweeps, so cold-solve free energies must agree to
     # float noise).  tools/tpu_session.sh skips variants whose log carries
     # the failure marker.
-    variant = os.environ.get("UPSIDE_BP_STACKED", "0")
-    if "bp" in only and variant != "0":
+    variant = os.environ.get("UPSIDE_BP_STACKED", "2")   # package default
+    rb = os.environ.get("UPSIDE_BP_RB", "1")
+    if "bp" in only and (variant != "0" or rb != "1"):
         os.environ["UPSIDE_BP_STACKED"] = "0"
+        os.environ["UPSIDE_BP_RB"] = "1"
         try:
             def bp_cold_ref(e1, ep):
                 return bp_bethe_pairs(static, interp, False,
@@ -291,10 +293,11 @@ def main():
             F_ref = jax.jit(jax.vmap(bp_cold_ref))(E1, E_pair)[0]
         finally:
             os.environ["UPSIDE_BP_STACKED"] = variant
+            os.environ["UPSIDE_BP_RB"] = rb
         rel = float(jnp.max(jnp.abs(F0 - F_ref)) /
                     jnp.maximum(jnp.max(jnp.abs(F_ref)), 1.0))
-        print(f"variant {variant} vs 0: cold-solve free-energy "
-              f"rel err {rel:.3e}")
+        print(f"variant {variant} rb {rb} vs per-plane: cold-solve "
+              f"free-energy rel err {rel:.3e}")
         if not (rel < 1e-3):
             print("BP VARIANT NUMERIC CHECK FAILED")
 

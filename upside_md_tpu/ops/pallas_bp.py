@@ -577,29 +577,19 @@ def _stack_cols(ref2d, n=NROT):
          for a in range(n)], axis=0)
 
 
-def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
-                             bf16, stacked, *refs):
-    """Stacked-plane variant of _bp_pairs_kernel (identical semantics).
+def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
+                         P_stack, e1_2d, valid_2d, init):
+    """One replica's stacked-plane BP solve + Bethe assembly, from the
+    exp(-E2) plane stack to the gradient stack (the shared body of the
+    stacked and replica-blocked kernels; semantics identical to
+    _bp_pairs_kernel).
 
-    The unstacked kernel issues ~100 separate (128, 128) VPU ops per BP
-    sweep (36 plane multiplies + 30 adds + per-slot glue); Mosaic issue
-    overhead, not element throughput, bounded it.  Here each sweep is a
-    handful of wide ops over the (768, 768) plane stack: one division,
-    one blockwise transpose, one tiled multiply, and two segmented block
-    reductions.  The Bethe edge assembly collapses the 36-plane loops the
-    same way, and the gradient stack G_all is built directly in the
-    layout the bead-space scatter dot consumes."""
-    if warm:
-        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
-         valid_ref, nb0_ref, eb0_ref,
-         f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
-    else:
-        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
-         valid_ref, f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
-
+    init: None for the reference cold-start schedule, or (nb0 (128, >=6),
+    EB0 (SL, 128)) warm-start beliefs.
+    Returns (nb_cat (128, 8) incl. diagnostics cols, EB (SL, 128),
+    g1_cat (128, 8), G_all (SL, SL) gradient planes, F () free energy)."""
     f32 = jnp.float32
     SL = NROT * LANE
-    onehot_dot_l, onehot_dot_r = _make_onehot_dots(bf16)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
@@ -610,31 +600,11 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     adjP_t = _tile_r(adjP)                            # (SL, 128)
 
     # ---- stacked node prep ----------------------------------------------
-    valid_s = _stack_cols(valid_ref[:, :])            # (SL, 1)
-    e1_s = _stack_cols(e1_ref[0])
+    valid_s = _stack_cols(valid_2d)                   # (SL, 1)
+    e1_s = _stack_cols(e1_2d)
     masked_s = jnp.where(valid_s > 0, e1_s, f32(1e30))
     offset = _reduce(_blocks_r(masked_s), jnp.minimum)    # (128, 1)
     probC_s = jnp.where(valid_s > 0, jnp.exp(_tile_r(offset) - e1_s), 0.0)
-
-    # ---- rot-slot scatter (as in _bp_pairs_kernel) -----------------------
-    E = ep_ref[0]
-    Es = E + E.T
-    h = onehot_dot_l(s6d2_ref[:, :], Es)              # (SL, NBP)
-    u_all = onehot_dot_r(h, s6t2_ref[:, :])           # (SL, SL), symmetric
-    # No validity masking needed: rot slots without beads scatter to u = 0
-    # (so P = 1, never inf), and every read of P below is multiplied by a
-    # belief/message factor that is exactly zero at invalid slots.
-    P_stack = jnp.exp(-u_all)
-
-    # ---- BP sweeps --------------------------------------------------------
-    # bcast: express row-block tiling as a leading-dim reshape + broadcast
-    # multiply instead of a materialized concat copy.  The reshape only
-    # splits/merges the sublane axis at 128-aligned boundaries (the 2D
-    # layout is unchanged), but Mosaic support for it must be validated
-    # on-device, hence the flag (UPSIDE_BP_STACKED=2; =3 additionally uses
-    # one whole-array transpose per sweep instead of 6 block transposes).
-    bcast = stacked >= 2
-    t_tall = (lambda X: X.T) if stacked >= 3 else _t_tall
 
     def rowblock_mul(A, B):
         """A (SL, n) * tile_r(B (128, n)) without materializing the tile."""
@@ -662,9 +632,9 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
         mx = _reduce(_blocks_r(nbC), jnp.maximum)
         return nbC * _tile_r(1.0 / jnp.maximum(mx, EPS))
 
-    if warm:
-        nb_s = _stack_cols(nb0_ref[0])
-        EB = jnp.concatenate([eb0_ref[0, a] for a in range(NROT)], axis=0)
+    if init is not None:
+        nb0_2d, EB = init
+        nb_s = _stack_cols(nb0_2d)
     else:
         EB = edge_update(probC_s, jnp.ones((SL, LANE), f32))
         mx0 = _reduce(_blocks_r(probC_s), jnp.maximum)
@@ -691,11 +661,9 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     bC_s = nb_s * _tile_r(1.0 / jnp.maximum(tot, EPS))
 
     # padding columns 6/7 carry solve diagnostics (see _bp_kernel)
-    nb_ref[0] = jnp.concatenate(
+    nb_cat = jnp.concatenate(
         _blocks_r(nb_s) + [jnp.full((LANE, 1), dev, f32),
                            jnp.full((LANE, 1), n_it.astype(f32))], axis=1)
-    for a in range(NROT):
-        eb_ref[0, a] = EB[a * LANE:(a + 1) * LANE]
 
     # ---- Bethe node term + envelope g1 (rotamer.cpp:292-302, 956-985) ----
     live_col = live_row[:, 0:1]
@@ -720,8 +688,7 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
         g1_cols.append(jnp.where(validb[a] > 0,
                                  bCb[a] * qb[a] + (1.0 - sum_bq) * is_min,
                                  0.0) * live_col)
-    g1_ref[0] = jnp.concatenate(g1_cols + [jnp.zeros((LANE, 2), f32)],
-                                axis=1)
+    g1_cat = jnp.concatenate(g1_cols + [jnp.zeros((LANE, 2), f32)], axis=1)
 
     # ---- Bethe edge term (rotamer.cpp:431-451) ---------------------------
     # mm = X * rmn with X[a*128+i, b*128+j] = P * bc1[a][i,j] * bc1[b][j,i];
@@ -741,7 +708,8 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
     term2 = _reduce(_blocks_c(Xa * t_tall(LEB)), jnp.add)
     edge_en = -(term1 + term2 + mnorm * logmn) * rmn
 
-    # gradient planes in G_all layout, contracted straight to bead space
+    # gradient planes in G_all layout (bead-space contraction done by the
+    # caller so the replica-blocked kernel can batch it across replicas)
     tadj = triu * adjP
     C_c = _tile_c(tadj * rmn)                         # (128, SL)
     bC_rowT = t_tall(jnp.broadcast_to(bC_s, (SL, LANE)))  # (128, SL)
@@ -752,11 +720,146 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
         pbb = Pb[a] * bCb[a] * bC_rowT
         Gb.append(Xrb[a] * (pbb / (EPS + pbb)) * C_c)
     G_all = jnp.concatenate(Gb, axis=0)               # (SL, SL)
+    F = jnp.sum(node_en) + jnp.sum(tadj * edge_en)
+    return nb_cat, EB, g1_cat, G_all, F
+
+
+def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
+                             bf16, stacked, *refs):
+    """Stacked-plane variant of _bp_pairs_kernel (identical semantics).
+
+    The unstacked kernel issues ~100 separate (128, 128) VPU ops per BP
+    sweep (36 plane multiplies + 30 adds + per-slot glue); Mosaic issue
+    overhead, not element throughput, bounded it.  Here each sweep is a
+    handful of wide ops over the (768, 768) plane stack: one division,
+    one blockwise transpose, one tiled multiply, and two segmented block
+    reductions.  The Bethe edge assembly collapses the 36-plane loops the
+    same way, and the gradient stack G_all is built directly in the
+    layout the bead-space scatter dot consumes."""
+    if warm:
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, nb0_ref, eb0_ref,
+         f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+    else:
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+
+    f32 = jnp.float32
+    onehot_dot_l, onehot_dot_r = _make_onehot_dots(bf16)
+
+    # ---- rot-slot scatter (as in _bp_pairs_kernel) -----------------------
+    E = ep_ref[0]
+    Es = E + E.T
+    h = onehot_dot_l(s6d2_ref[:, :], Es)              # (SL, NBP)
+    u_all = onehot_dot_r(h, s6t2_ref[:, :])           # (SL, SL), symmetric
+    # No validity masking needed: rot slots without beads scatter to u = 0
+    # (so P = 1, never inf), and every read of P below is multiplied by a
+    # belief/message factor that is exactly zero at invalid slots.
+    P_stack = jnp.exp(-u_all)
+
+    # bcast: express row-block tiling as a leading-dim reshape + broadcast
+    # multiply instead of a materialized concat copy (UPSIDE_BP_STACKED=2,
+    # the measured round-3 winner; =3 additionally uses one whole-array
+    # transpose per sweep instead of 6 block transposes).
+    bcast = stacked >= 2
+    t_tall = (lambda X: X.T) if stacked >= 3 else _t_tall
+
+    if warm:
+        init = (nb0_ref[0],
+                jnp.concatenate([eb0_ref[0, a] for a in range(NROT)],
+                                axis=0))
+    else:
+        init = None
+    nb_cat, EB, g1_cat, G_all, F = _stacked_solve_bethe(
+        R, damping, max_iter, tol, chunk, bcast, t_tall,
+        P_stack, e1_ref[0], valid_ref[:, :], init)
+
+    nb_ref[0] = nb_cat
+    for a in range(NROT):
+        eb_ref[0, a] = EB[a * LANE:(a + 1) * LANE]
+    g1_ref[0] = g1_cat
+
     T1 = onehot_dot_l(s6td2_ref[:, :], G_all)         # (NBP, SL)
     X2 = onehot_dot_r(T1, s6s2_ref[:, :])             # (NBP, NBP)
 
     de_ref[0] = X2 + X2.T
-    f_ref[0] = (jnp.sum(node_en) + jnp.sum(tadj * edge_en)).reshape(1, 1)
+    f_ref[0] = F.reshape(1, 1)
+
+
+def _bp_pairs_kernel_rb(R, NBP, RB, damping, max_iter, tol, chunk, warm,
+                        bf16, *refs):
+    """Replica-blocked stacked kernel: RB replicas per grid step.
+
+    The per-replica kernel's cost is dominated by the four exact scatter
+    dots (hi/lo one-hot contractions, ~1.4G MACs per replica at NBP=384)
+    issued one replica at a time; replica-blocking batches each of them
+    into ONE wide MXU issue per block — the same amortization that bought
+    -25% in the fused pair kernel.  The damped solves stay per-replica
+    (each replica exits its while_loop at its own sweep count, preserving
+    the reference convergence semantics), operating on slices of the
+    batched U stack held in VMEM scratch:
+
+      phase 1 (batched):  Es_cat (NBP, RB*NBP)  -> H (SL, RB*NBP)
+                          H_rows (RB*SL, NBP)   -> U_rows (RB*SL, SL)
+      phase 2 (per r):    P = exp(-U_rows[r])   -> solve + Bethe
+                          G_cat[:, r*SL:(r+1)*SL] = G_all_r
+      phase 3 (batched):  T1_wide (NBP, RB*SL)  -> T1_rows (RB*NBP, SL)
+                          X_rows (RB*NBP, NBP)  -> dE[r] = X_r + X_r^T
+
+    All layout shuffles are 128-aligned slice copies inside VMEM."""
+    nscr = 8
+    scratch = refs[-nscr:]
+    refs = refs[:-nscr]
+    (es_cat, h_scr, h_rows, u_rows, g_cat, t1_wide, t1_rows,
+     x_rows) = scratch
+    if warm:
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, nb0_ref, eb0_ref,
+         f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+    else:
+        (e1_ref, ep_ref, s6d2_ref, s6t2_ref, s6td2_ref, s6s2_ref,
+         valid_ref, f_ref, g1_ref, de_ref, nb_ref, eb_ref) = refs
+
+    SL = NROT * LANE
+    onehot_dot_l, onehot_dot_r = _make_onehot_dots(bf16)
+
+    # ---- phase 1: batched rot-slot scatter -------------------------------
+    for r in range(RB):
+        E = ep_ref[r]
+        es_cat[:, r * NBP:(r + 1) * NBP] = E + E.T
+    h_scr[:, :] = onehot_dot_l(s6d2_ref[:, :], es_cat[:, :])
+    for r in range(RB):
+        h_rows[r * SL:(r + 1) * SL, :] = h_scr[:, r * NBP:(r + 1) * NBP]
+    u_rows[:, :] = onehot_dot_r(h_rows[:, :], s6t2_ref[:, :])
+
+    # ---- phase 2: per-replica solves + Bethe assembly --------------------
+    for r in range(RB):
+        P_stack = jnp.exp(-u_rows[r * SL:(r + 1) * SL, :])
+        if warm:
+            init = (nb0_ref[r],
+                    jnp.concatenate([eb0_ref[r, a] for a in range(NROT)],
+                                    axis=0))
+        else:
+            init = None
+        nb_cat, EB, g1_cat, G_all, F = _stacked_solve_bethe(
+            R, damping, max_iter, tol, chunk, True, _t_tall,
+            P_stack, e1_ref[r], valid_ref[:, :], init)
+        nb_ref[r] = nb_cat
+        for a in range(NROT):
+            eb_ref[r, a] = EB[a * LANE:(a + 1) * LANE]
+        g1_ref[r] = g1_cat
+        f_ref[r] = F.reshape(1, 1)
+        g_cat[:, r * SL:(r + 1) * SL] = G_all
+
+    # ---- phase 3: batched bead-space gradient contraction ----------------
+    t1_wide[:, :] = onehot_dot_l(s6td2_ref[:, :], g_cat[:, :])
+    for r in range(RB):
+        t1_rows[r * NBP:(r + 1) * NBP, :] = \
+            t1_wide[:, r * SL:(r + 1) * SL]
+    x_rows[:, :] = onehot_dot_r(t1_rows[:, :], s6s2_ref[:, :])
+    for r in range(RB):
+        X2 = x_rows[r * NBP:(r + 1) * NBP, :]
+        de_ref[r] = X2 + X2.T
 
 
 def _scatter_onehots(res, rot, nbp, dtype=np.float32):
@@ -770,12 +873,15 @@ def _scatter_onehots(res, rot, nbp, dtype=np.float32):
 
 
 def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
-                   stacked, E1, E_pair, S6, S6T, valid, init):
+                   stacked, rb, E1, E_pair, S6, S6T, valid, init):
     """Pad and invoke the mega-kernel over a leading replica axis.
-    E1 (b, R, 6), E_pair (b, nb, nb); S6/S6T/valid shared."""
+    E1 (b, R, 6), E_pair (b, nb, nb); S6/S6T/valid shared.  rb > 1 runs
+    the replica-blocked kernel with rb replicas per grid step (clamped to
+    the largest divisor of the replica count)."""
     f32 = jnp.float32
     n_rep, nb_count = E_pair.shape[0], E_pair.shape[1]
     NBP = S6.shape[1]
+    RB = max(r for r in range(1, min(rb, n_rep) + 1) if n_rep % r == 0)
     e1p = jnp.pad(E1.astype(f32),
                   ((0, 0), (0, LANE - R), (0, 8 - NROT)))
     epp = jnp.pad(E_pair.astype(f32),
@@ -799,10 +905,11 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
                                  (0, 8 - nb0.shape[2]))))
         operands.append(eb0.astype(f32))
 
+    RBX = RB if RB > 1 else 1
     rspec = [
-        pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+        pl.BlockSpec((RBX, LANE, 8), lambda r: (r, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, NBP, NBP), lambda r: (r, 0, 0),
+        pl.BlockSpec((RBX, NBP, NBP), lambda r: (r, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((NROT * LANE, 2 * NBP), lambda r: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -816,13 +923,29 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
                      memory_space=pltpu.VMEM),
     ]
     if warm:
-        rspec.append(pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+        rspec.append(pl.BlockSpec((RBX, LANE, 8), lambda r: (r, 0, 0),
                                   memory_space=pltpu.VMEM))
-        rspec.append(pl.BlockSpec((1, NROT, LANE, LANE),
+        rspec.append(pl.BlockSpec((RBX, NROT, LANE, LANE),
                                   lambda r: (r, 0, 0, 0),
                                   memory_space=pltpu.VMEM))
 
-    if stacked:
+    SL = NROT * LANE
+    scratch_shapes = []
+    if RB > 1:
+        kernel = functools.partial(_bp_pairs_kernel_rb, R, NBP, RB,
+                                   damping, max_iter, tol, chunk, warm,
+                                   bf16)
+        scratch_shapes = [
+            pltpu.VMEM((NBP, RB * NBP), f32),      # es_cat
+            pltpu.VMEM((SL, RB * NBP), f32),       # h
+            pltpu.VMEM((RB * SL, NBP), f32),       # h_rows
+            pltpu.VMEM((RB * SL, SL), f32),        # u_rows
+            pltpu.VMEM((SL, RB * SL), f32),        # g_cat
+            pltpu.VMEM((NBP, RB * SL), f32),       # t1_wide
+            pltpu.VMEM((RB * NBP, SL), f32),       # t1_rows
+            pltpu.VMEM((RB * NBP, NBP), f32),      # x_rows
+        ]
+    elif stacked:
         kernel = functools.partial(_bp_pairs_kernel_stacked, R, NBP,
                                    damping, max_iter, tol, chunk, warm,
                                    bf16, stacked)
@@ -831,18 +954,18 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
                                    max_iter, tol, chunk, warm, bf16)
     F, G1, dE, nb, eb = pl.pallas_call(
         kernel,
-        grid=(n_rep,),
+        grid=(n_rep // RBX,),
         in_specs=rspec,
         out_specs=(
-            pl.BlockSpec((1, 1, 1), lambda r: (r, 0, 0),
+            pl.BlockSpec((RBX, 1, 1), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+            pl.BlockSpec((RBX, LANE, 8), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NBP, NBP), lambda r: (r, 0, 0),
+            pl.BlockSpec((RBX, NBP, NBP), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE, 8), lambda r: (r, 0, 0),
+            pl.BlockSpec((RBX, LANE, 8), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NROT, LANE, LANE), lambda r: (r, 0, 0, 0),
+            pl.BlockSpec((RBX, NROT, LANE, LANE), lambda r: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -852,9 +975,11 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
             jax.ShapeDtypeStruct((n_rep, LANE, 8), f32),
             jax.ShapeDtypeStruct((n_rep, NROT, LANE, LANE), f32),
         ),
+        scratch_shapes=scratch_shapes,
         # the f32 (precision=HIGHEST) scatter needs more scratch than the
-        # 16M default scoped-vmem budget; the whole problem is ~8M so a
-        # raised ceiling is safe on v5e's 128M VMEM
+        # 16M default scoped-vmem budget; the per-replica problem is ~8M
+        # (replica-blocked: ~60M at RB=4) so a raised ceiling is safe on
+        # v5e's 128M VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -875,8 +1000,18 @@ def _stacked_default():
     return int(os.environ.get("UPSIDE_BP_STACKED", "2"))
 
 
+def _rb_default():
+    """Replicas per grid step for the replica-blocked kernel
+    (UPSIDE_BP_RB).  1 = one replica per grid step (the round-3 kernels).
+    Values > 1 batch the four exact scatter dots across the block in
+    single wide MXU issues while keeping per-replica solve loops; wins
+    iff the kernel is issue-bound on those dots (A/B in
+    tools/tpu_session4c.sh decides the default)."""
+    return int(os.environ.get("UPSIDE_BP_RB", "1"))
+
+
 @functools.lru_cache(maxsize=None)
-def _pairs_dispatch(static, interpret, bf16, warm, stacked):
+def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1):
     """custom_vmap wrapper: a replica ensemble maps to the kernel's grid
     with the scatter one-hots and validity mask shared, not broadcast."""
     R, damping, max_iter, tol, chunk = static
@@ -885,7 +1020,7 @@ def _pairs_dispatch(static, interpret, bf16, warm, stacked):
     def run(E1, E_pair, S6, S6T, valid, nb0, eb0):
         init = (nb0[None], eb0[None]) if warm else None
         F, G1, dE, nb, eb = _bp_pairs_impl(
-            R, damping, max_iter, tol, chunk, interpret, bf16, stacked,
+            R, damping, max_iter, tol, chunk, interpret, bf16, stacked, 1,
             E1[None], E_pair[None], S6, S6T, valid, init)
         return F[0], G1[0], dE[0], nb[0], eb[0]
 
@@ -908,7 +1043,8 @@ def _pairs_dispatch(static, interpret, bf16, warm, stacked):
         else:
             init = None
         out = _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret,
-                             bf16, stacked, E1, E_pair, S6, S6T, valid, init)
+                             bf16, stacked, rb, E1, E_pair, S6, S6T, valid,
+                             init)
         return out, (True,) * 5
 
     return run
@@ -933,7 +1069,7 @@ def bp_bethe_pairs(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
     nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
     F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
-                                        _stacked_default())(
+                                        _stacked_default(), _rb_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return F, nb, eb
 
@@ -944,7 +1080,7 @@ def _bp_pairs_fwd(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
     nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
     F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
-                                        _stacked_default())(
+                                        _stacked_default(), _rb_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return (F, nb, eb), (G1, dE, jnp.zeros((0,), E1.dtype),
                          jnp.zeros((0,), E_pair.dtype))
