@@ -181,3 +181,81 @@ def test_sigint_graceful_shutdown(tmp_path):
         assert n >= 3
         assert f["output/time"].shape[0] == n
         assert np.isfinite(f["output/pos"][()]).all()
+
+
+def test_recycle_structures(tmp_path):
+    """--initial-structures: a short structure list recycles over replica
+    slots (reference upside_config.py:1296-1301 semantics)."""
+    import pickle
+
+    from upside_md_tpu.cli import recycle_structures
+
+    rng = np.random.default_rng(3)
+    structs = rng.normal(size=(2, 12, 3))
+    path = str(tmp_path / "inits.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(structs, f)
+
+    out = recycle_structures(path, 5, 12)
+    assert out.shape == (5, 12, 3)
+    np.testing.assert_array_equal(out[0], structs[0])
+    np.testing.assert_array_equal(out[1], structs[1])
+    np.testing.assert_array_equal(out[2], structs[0])
+    np.testing.assert_array_equal(out[4], structs[0])
+
+    # single-structure pickles, incl. the reference's (n_atom, 3, 1) shape
+    with open(path, "wb") as f:
+        pickle.dump(structs[0][:, :, None], f)
+    out = recycle_structures(path, 3, 12)
+    assert out.shape == (3, 12, 3)
+    np.testing.assert_array_equal(out[2], structs[0])
+
+
+def test_cli_initial_structures_flag(tmp_path):
+    """End to end: the run CLI recycles pickled structures over replica
+    slots and actually starts from them."""
+    import pickle
+    import subprocess
+    import sys
+
+    import h5py
+
+    from upside_md_tpu.config.builder import ConfigBuilder
+
+    paths = []
+    for i in range(3):
+        b = ConfigBuilder(">x\nAAAA\n", seed=1)
+        b.add_backbone_springs()
+        p = str(tmp_path / f"cfg{i}.up")
+        b.write(p)
+        paths.append(p)
+
+    with h5py.File(paths[0], "r") as f:
+        n_atom = f["input/pos"].shape[0]
+    # structure 1 = the chain translated 50 A in x (springs are
+    # translation-invariant, so the run is equally stable and the slot ->
+    # structure mapping is visible through the thermostat noise)
+    with h5py.File(paths[0], "r") as f:
+        base = np.asarray(f["input/pos"][:]).reshape(n_atom, 3)
+    structs = np.stack([base, base + np.array([50.0, 0.0, 0.0])])
+    pkl = str(tmp_path / "inits.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(structs, f)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "upside_md_tpu.cli", *paths,
+         "--duration", "0.1", "--frame-interval", "0.05",
+         "--disable-recentering", "--initial-structures", pkl],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    # slots 0 and 2 got structure 0, slot 1 got structure 1
+    means = []
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            means.append(np.asarray(f["output/pos"][0]).reshape(
+                -1, 3).mean(0)[0])
+    assert abs(means[0] - means[2]) < 5.0
+    assert means[1] - means[0] > 40.0

@@ -48,6 +48,28 @@ def potential_deriv_agreement(system, params, pos, eps=1e-3):
     return num / max(den, 1e-12)
 
 
+def recycle_structures(path, n_replica, n_atom):
+    """Load a pickle of one or more structures and recycle them over the
+    replica slots (slot i gets structure i mod n_structures) — the
+    reference's --initial-structure semantics for replica ensembles
+    (upside_config.py:1296-1301 help text; run_upside.py slices the list
+    per generated config)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        structs = np.asarray(pickle.load(f, encoding="latin1"), np.float64)
+    if structs.ndim == 3 and structs.shape[-1] == 1:   # (n_atom, 3, 1)
+        structs = structs[None, :, :, 0]
+    elif structs.ndim == 2:                            # (n_atom, 3)
+        structs = structs[None]
+    elif structs.ndim == 4 and structs.shape[-1] == 1:
+        structs = structs[..., 0]
+    if structs.shape[1:] != (n_atom, 3):
+        sys.exit(f"{path}: expected structures of shape ({n_atom}, 3), "
+                 f"got {structs.shape}")
+    return structs[np.arange(n_replica) % structs.shape[0]]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Upside-TPU: coarse-grained protein MD on TPU")
@@ -74,6 +96,12 @@ def main(argv=None):
                    help="HDF5 file of node-name -> flat parameter arrays to "
                         "override before running (main.cpp:384-395)")
     p.add_argument("--verbose", action="store_true", default=True)
+    p.add_argument("--initial-structures", default="",
+                   help="pickle of one or more (n_atom, 3) structures; "
+                        "recycled over the replica slots when fewer "
+                        "structures than replicas are given (reference "
+                        "upside_config.py:1296-1301 semantics), "
+                        "overriding the configs' stored positions")
     p.add_argument("configs", nargs="+", help=".up configuration files")
     args = p.parse_args(argv)
 
@@ -96,6 +124,9 @@ def main(argv=None):
     params0 = loaded[0][1]
     aux = loaded[0][3]
     pos = np.stack([ld[2] for ld in loaded])
+    if args.initial_structures:
+        pos = recycle_structures(args.initial_structures, n_sys,
+                                 pos.shape[1])
 
     import jax as _jax
 
