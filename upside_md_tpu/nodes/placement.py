@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.geometry import quat_to_rot
+from ..ops.geometry import quat_to_rot, rotate_vec
 from ..ops.spline import eval_periodic_bspline_2d, fit_periodic_bspline_2d
 from .base import register_node
 from .rama import rama_to_grid
@@ -33,9 +33,9 @@ def _transform(signature, affine, val):
         w = SIG_WIDTH[s]
         v = val[:, off:off + w]
         if s == "point":
-            out.append(jnp.einsum('nij,nj->ni', R, v) + t)
+            out.append(rotate_vec(R, v) + t)
         elif s == "vector":
-            out.append(jnp.einsum('nij,nj->ni', R, v))
+            out.append(rotate_vec(R, v))
         else:  # scalar
             out.append(v)
         off += w

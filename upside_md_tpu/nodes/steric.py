@@ -27,7 +27,10 @@ def _backbone_pairs(consts, params, inputs, extra):
 
     t = affine[:, 0:3]
     R = quat_to_rot(affine[:, 3:7])
-    atoms = jnp.einsum('nij,naj->nai', R, jnp.asarray(ref_pos, affine.dtype)) \
+    # broadcast multiply-reduce, not a batched tiny dot_general (MXU-tile
+    # padding pathology; see ops.geometry.rotate_vec)
+    atoms = jnp.sum(R[:, None] * jnp.asarray(
+        ref_pos, affine.dtype)[:, :, None, :], axis=-1) \
         + t[:, None, :]                    # (n_res, 4, 3)
 
     # flatten to atom level: one (4*n_res, 4*n_res) pair plane instead of

@@ -95,11 +95,18 @@ def max_eigvec_sym4(F, n_newton=25):
     Assumes the largest eigenvalue is simple, as the reference does for
     alignment to a nearly rigid structure (eig.cpp:428-429).
     """
-    F2 = jnp.einsum('...ij,...jk->...ik', F, F)
-    F3 = jnp.einsum('...ij,...jk->...ik', F2, F)
+    # 4x4 products as broadcast multiply-reduce, NOT dot_general: XLA pads
+    # batched tiny matmuls onto 128x128 MXU tiles (the measured round-2
+    # pathology for trailing 6x6 dims); the elementwise form fuses on the
+    # VPU instead
+    def mm4(A, B):
+        return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+    F2 = mm4(F, F)
+    F3 = mm4(F2, F)
     p2 = jnp.trace(F2, axis1=-2, axis2=-1)
     p3 = jnp.trace(F3, axis1=-2, axis2=-1)
-    p4 = jnp.einsum('...ij,...ji->...', F2, F2)
+    p4 = jnp.sum(F2 * jnp.swapaxes(F2, -1, -2), axis=(-1, -2))
     # char poly of traceless F: l^4 + c2 l^2 + c1 l + c0  (Newton identities)
     c2 = -0.5 * p2
     c1 = -p3 / 3.0
@@ -117,8 +124,8 @@ def max_eigvec_sym4(F, n_newton=25):
     #   adj(B) = -(B^3 + b3 B^2 + b2 B + b1 I), b-coeffs from traces of B^k
     eye = jnp.eye(4, dtype=F.dtype)
     B = F - lam[..., None, None] * eye
-    B2 = jnp.einsum('...ij,...jk->...ik', B, B)
-    B3 = jnp.einsum('...ij,...jk->...ik', B2, B)
+    B2 = mm4(B, B)
+    B3 = mm4(B2, B)
     t1 = jnp.trace(B, axis1=-2, axis2=-1)
     t2 = jnp.trace(B2, axis1=-2, axis2=-1)
     t3 = jnp.trace(B3, axis1=-2, axis2=-1)
@@ -152,8 +159,9 @@ def rigid_alignment(atoms, ref_geom):
     """
     center = jnp.mean(atoms, axis=-2)
     x = atoms - center[..., None, :]
-    # R[i,j] = sum_a x_a[j] * ref_a[i]
-    R = jnp.einsum('...aj,...ai->...ij', x, ref_geom)
+    # R[i,j] = sum_a x_a[j] * ref_a[i]  (broadcast multiply-reduce over the
+    # 3-atom axis, not a batched tiny dot_general -- see max_eigvec_sym4)
+    R = jnp.sum(ref_geom[..., :, :, None] * x[..., :, None, :], axis=-3)
     R00, R01, R02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
     R10, R11, R12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
     R20, R21, R22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
@@ -169,10 +177,16 @@ def rigid_alignment(atoms, ref_geom):
     return center, quat
 
 
+def rotate_vec(R, v):
+    """Batched 3x3 matrix-vector product as a broadcast multiply-reduce
+    (batched tiny dot_generals pad onto MXU tiles; the VPU form fuses)."""
+    return jnp.sum(R * v[..., None, :], axis=-1)
+
+
 def apply_affine(t, q, v):
     """Rotate local coordinates v (..., 3) by quaternion q and translate."""
-    return jnp.einsum('...ij,...j->...i', quat_to_rot(q), v) + t
+    return rotate_vec(quat_to_rot(q), v) + t
 
 
 def apply_rotation(q, v):
-    return jnp.einsum('...ij,...j->...i', quat_to_rot(q), v)
+    return rotate_vec(quat_to_rot(q), v)
