@@ -176,11 +176,28 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     E1, E_pair, S6, valid, res, rot, contact = make_bead_problem(rng)
     S6j, S6Tj = jnp.asarray(S6), jnp.asarray(S6.T)
 
+    # symmetric residue-pair mask of non-identity potential planes (the
+    # prodlog pinning set): prodlog variants keep eb pinned to exactly
+    # 1.0 off this set, while the log path converges those messages to a
+    # slot-independent constant — same beliefs either way, so eb is only
+    # comparable on the real set
+    real = np.zeros((LANE, LANE), bool)   # padded to the kernel's plane
+    bi, bj = np.nonzero(np.asarray(E_pair) != 0.0)
+    real[res[bi], res[bj]] = True
+    real |= real.T
+
     def check(outs):
-        for variant in (1, 2, 3):
+        for variant in [k for k in outs if k != 0]:
+            prodlog = isinstance(variant, str)
             for a, b, name in zip(outs[0], outs[variant],
                                   ("F", "G1", "dE", "nb", "eb")):
                 a, b = np.asarray(a), np.asarray(b)
+                if name == "eb" and prodlog:
+                    r = real
+                    b_off = b[..., ~r]
+                    assert np.all((b_off == 1.0) | (b_off == 0.0)), \
+                        f"pinned eb not exactly 1 (variant {variant})"
+                    a, b = a[..., r], b[..., r]
                 if name == "nb":     # cols 6/7 are solve diagnostics
                     # iteration counts must agree exactly; the final
                     # deviation only to float reorder
@@ -198,19 +215,24 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
                     b, a, rtol=5e-5, atol=2e-5,
                     err_msg=f"{name} (variant {variant})")
 
+    # (stacked, prodlog) variants, all against the per-plane log-path
+    # reference; "pl" keys exercise the identity-message pinning +
+    # lane-product node update (same fixed point, see _stacked_solve_bethe)
+    cases = {0: (0, 0), 1: (1, 0), 2: (2, 0), 3: (3, 0),
+             "pl2": (2, 1), "pl3": (3, 1)}
     outs = {}
-    for stacked in (0, 1, 2, 3):
-        outs[stacked] = _bp_pairs_impl(
+    for key, (stacked, prodlog) in cases.items():
+        outs[key] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked, 1,
-            E1[None], E_pair[None], S6j, S6Tj, valid, None)
+            prodlog, E1[None], E_pair[None], S6j, S6Tj, valid, None)
     check(outs)
 
     # warm-start path too
     _, _, _, nb0, eb0 = outs[1]
-    for stacked in (0, 1, 2, 3):
-        outs[stacked] = _bp_pairs_impl(
+    for key, (stacked, prodlog) in cases.items():
+        outs[key] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked, 1,
-            1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
+            prodlog, 1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
             (nb0, eb0))
     check(outs)
 
@@ -308,10 +330,10 @@ def test_pairs_kernel_replica_blocked_matches_single(rng):
     E1b = jnp.stack([E1 + 0.05 * i for i in range(B)])
     Epb = jnp.stack([E_pair * (1.0 + 0.03 * i) for i in range(B)])
 
-    def run(rb, init=None):
+    def run(rb, init=None, prodlog=0):
         return _bp_pairs_impl(E1.shape[0], 0.4, 1000, 1e-4, 2, True,
-                              False, 2, rb, E1b, Epb, S6j, S6Tj, valid,
-                              init)
+                              False, 2, rb, prodlog, E1b, Epb, S6j, S6Tj,
+                              valid, init)
 
     def check(a_outs, b_outs, tag):
         for a, b, name in zip(a_outs, b_outs, ("F", "G1", "dE", "nb",

@@ -107,12 +107,21 @@ def main():
     plan = system.pair_fusion
     assert plan is not None
 
+    # Fused members whose outputs non-members consume (the env-coverage
+    # band since its round-4 default-on) still run here, via their
+    # node-fallback XLA path (no "_fused" in extra) — the same nodes the
+    # round-3 "upstream" piece measured, so the number stays comparable.
+    needed_members = {
+        s.name for s in system.specs if s.name in plan.member_names
+        and any(s.name in t.args for t in system.specs
+                if t.name not in plan.member_names)}
+
     def upstream(p):
         """Everything except the fused members (coverage x2 + rotamer)."""
         outputs = {"pos": p}
         extra = {"_cache_out": {}}
         for s in system.specs:
-            if s.name in plan.member_names:
+            if s.name in plan.member_names and s.name not in needed_members:
                 continue
             inputs = [outputs[a] for a in s.args]
             extra["_node_name"] = s.name
@@ -125,14 +134,14 @@ def main():
         extra = {"_cache_out": {}}
         tot = 0.0
         for s in system.specs:
-            if s.name in plan.member_names:
+            if s.name in plan.member_names and s.name not in needed_members:
                 continue
             inputs = [outputs[a] for a in s.args]
             extra["_node_name"] = s.name
             out = s.node_type.compute(s.consts, params.get(s.name, {}),
                                       inputs, extra)
             outputs[s.name] = out
-            if s.node_type.is_potential:
+            if s.node_type.is_potential and s.name not in plan.member_names:
                 tot = tot + jnp.sum(out)
         return tot
 
@@ -140,15 +149,18 @@ def main():
     if prefix_stride:
         nonfused = [s for s in system.specs
                     if s.name not in plan.member_names]
-        cuts = list(range(prefix_stride, len(nonfused), prefix_stride))
-        if not cuts or cuts[-1] != len(nonfused):
+        # k=0 = empty prefix: times the fori_loop/vmap/jiggle glue alone,
+        # so delta[1] attributes the FIRST node honestly (round-4 gap:
+        # prefix[1] bundled affine_alignment with the loop baseline)
+        cuts = [0] + list(range(prefix_stride, len(nonfused), prefix_stride))
+        if cuts[-1] != len(nonfused):
             cuts.append(len(nonfused))
 
         def make_body(k):
             def prefix_loss(p):
                 outputs = {"pos": p}
                 extra = {"_cache_out": {}}
-                tot = 0.0
+                tot = 1e-9 * jnp.sum(p)
                 for s in nonfused[:k]:
                     inputs = [outputs[a] for a in s.args]
                     extra["_node_name"] = s.name
@@ -171,8 +183,9 @@ def main():
 
         prev = 0.0
         for k in cuts:
+            name = nonfused[k-1].name if k else "(loop glue baseline)"
             t = loop_time(make_body(k), posb, n_iters,
-                          f"prefix .. {nonfused[k-1].name} [{k}]")
+                          f"prefix .. {name} [{k}]")
             print(f"{'':48s}   delta {1e3*(t - prev):8.3f} ms")
             prev = t
         return

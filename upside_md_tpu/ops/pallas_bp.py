@@ -578,7 +578,7 @@ def _stack_cols(ref2d, n=NROT):
 
 
 def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
-                         P_stack, e1_2d, valid_2d, init):
+                         P_stack, e1_2d, valid_2d, init, real=None):
     """One replica's stacked-plane BP solve + Bethe assembly, from the
     exp(-E2) plane stack to the gradient stack (the shared body of the
     stacked and replica-blocked kernels; semantics identical to
@@ -586,6 +586,20 @@ def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
 
     init: None for the reference cold-start schedule, or (nb0 (128, >=6),
     EB0 (SL, 128)) warm-start beliefs.
+
+    real: optional (128, 128) mask of residue pairs whose potential plane
+    is NOT the identity (any u != 0).  When given ("prodlog" mode),
+    messages off the real set are pinned to exactly 1.0 — provably the
+    same fixed point: an identity-plane message is uniform over the
+    receiver's valid slots after one sweep (m(a) = 1/n_valid(i) for all
+    valid a), so it contributes an a-independent factor to every node
+    belief that the max-centering cancels; its Bethe edge energy is
+    exactly 0 either way, and the per-(i,j) gradient mm = X*rmn is scale
+    -invariant in eb.  With all non-real messages exactly 1, the per-node
+    log-message sum collapses to a lane PRODUCT over the ~dozen real
+    messages — removing the (SL, 128) per-element log from every sweep
+    (the sweep's largest transcendental block).
+
     Returns (nb_cat (128, 8) incl. diagnostics cols, EB (SL, 128),
     g1_cat (128, 8), G_all (SL, SL) gradient planes, F () free energy)."""
     f32 = jnp.float32
@@ -597,7 +611,10 @@ def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
     live = live_row * (cols < R).astype(f32)
     triu = (rows < cols).astype(f32)
     adjP = live * (rows != cols).astype(f32)
-    adjP_t = _tile_r(adjP)                            # (SL, 128)
+    prodlog = real is not None
+    # message-pinning adjacency: all live pairs, or just the real ones
+    padj_t = _tile_r(adjP * (real > 0) if prodlog else adjP)  # (SL, 128)
+    adjP_t = _tile_r(adjP)
 
     # ---- stacked node prep ----------------------------------------------
     valid_s = _stack_cols(valid_2d)                   # (SL, 1)
@@ -621,16 +638,40 @@ def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
         m = _reduce(_blocks_c(PROD), jnp.add) * valid_s   # (SL, 128)
         norm = _reduce(_blocks_r(m), jnp.add)         # (128, 128)
         rn = 1.0 / jnp.maximum(norm, EPS)
-        return jnp.where(adjP_t > 0, rowblock_mul(m, rn), 1.0)
+        return jnp.where(padj_t > 0, rowblock_mul(m, rn), 1.0)
 
-    def node_update(EB):
-        # max-centered log-message sums (see _make_updates for why)
-        LG = jnp.log(jnp.maximum(EB, 1e-30)) * adjP_t
-        sC = jnp.sum(LG, axis=1, keepdims=True)       # (SL, 1)
-        smax = _reduce(_blocks_r(sC), jnp.maximum)
-        nbC = probC_s * jnp.exp(sC - _tile_r(smax))
-        mx = _reduce(_blocks_r(nbC), jnp.maximum)
-        return nbC * _tile_r(1.0 / jnp.maximum(mx, EPS))
+    if prodlog:
+        def node_update(EB):
+            # Lane-product form of the max-centered log-message sum: with
+            # non-real messages pinned to exactly 1 only the ~dozen real
+            # messages per row deviate from 1, so prod(EB^(1/4), lanes)
+            # stays inside f32 range for any realistic contact pattern
+            # (worst case ~20 clash messages at e^-30: exponent -65).  A
+            # residue whose valid slots ALL underflow anyway (a fully
+            # jammed geometry) falls back to its prior for this sweep and
+            # lets the next sweep recover — the log-domain path survives
+            # such rows via centering, so the fallback preserves solve
+            # robustness rather than NaN-ing.
+            q = jnp.sqrt(jnp.sqrt(jnp.maximum(EB, 1e-30)))
+            p = jnp.prod(q, axis=1, keepdims=True)    # (SL, 1)
+            lp = 4.0 * jnp.log(jnp.maximum(p, 1e-38))
+            smax = _reduce(_blocks_r(
+                jnp.where(valid_s > 0, lp, f32(-3e38))), jnp.maximum)
+            nbC = probC_s * jnp.exp(lp - _tile_r(smax))
+            pmax = _reduce(_blocks_r(jnp.where(valid_s > 0, p, 0.0)),
+                           jnp.maximum)
+            nbC = jnp.where(_tile_r(pmax) > 0, nbC, probC_s)
+            mx = _reduce(_blocks_r(nbC), jnp.maximum)
+            return nbC * _tile_r(1.0 / jnp.maximum(mx, EPS))
+    else:
+        def node_update(EB):
+            # max-centered log-message sums (see _make_updates for why)
+            LG = jnp.log(jnp.maximum(EB, 1e-30)) * adjP_t
+            sC = jnp.sum(LG, axis=1, keepdims=True)   # (SL, 1)
+            smax = _reduce(_blocks_r(sC), jnp.maximum)
+            nbC = probC_s * jnp.exp(sC - _tile_r(smax))
+            mx = _reduce(_blocks_r(nbC), jnp.maximum)
+            return nbC * _tile_r(1.0 / jnp.maximum(mx, EPS))
 
     if init is not None:
         nb0_2d, EB = init
@@ -724,8 +765,17 @@ def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
     return nb_cat, EB, g1_cat, G_all, F
 
 
+def _real_pair_mask(u_stack):
+    """(128, 128) mask of residue pairs with a non-identity potential
+    plane (any u != 0 across the 36 (a, b) blocks) — the prodlog pinning
+    set; see _stacked_solve_bethe."""
+    nz = (u_stack != 0.0).astype(jnp.float32)         # (SL, SL)
+    r6 = _reduce(_blocks_c(nz), jnp.add)              # (SL, 128)
+    return _reduce(_blocks_r(r6), jnp.add)            # (128, 128)
+
+
 def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
-                             bf16, stacked, *refs):
+                             bf16, stacked, prodlog, *refs):
     """Stacked-plane variant of _bp_pairs_kernel (identical semantics).
 
     The unstacked kernel issues ~100 separate (128, 128) VPU ops per BP
@@ -772,7 +822,8 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
         init = None
     nb_cat, EB, g1_cat, G_all, F = _stacked_solve_bethe(
         R, damping, max_iter, tol, chunk, bcast, t_tall,
-        P_stack, e1_ref[0], valid_ref[:, :], init)
+        P_stack, e1_ref[0], valid_ref[:, :], init,
+        real=_real_pair_mask(u_all) if prodlog else None)
 
     nb_ref[0] = nb_cat
     for a in range(NROT):
@@ -787,7 +838,7 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
 
 
 def _bp_pairs_kernel_rb(R, NBP, RB, damping, max_iter, tol, chunk, warm,
-                        bf16, *refs):
+                        bf16, prodlog, *refs):
     """Replica-blocked stacked kernel: RB replicas per grid step.
 
     The per-replica kernel's cost is dominated by the four exact scatter
@@ -843,7 +894,9 @@ def _bp_pairs_kernel_rb(R, NBP, RB, damping, max_iter, tol, chunk, warm,
             init = None
         nb_cat, EB, g1_cat, G_all, F = _stacked_solve_bethe(
             R, damping, max_iter, tol, chunk, True, _t_tall,
-            P_stack, e1_ref[r], valid_ref[:, :], init)
+            P_stack, e1_ref[r], valid_ref[:, :], init,
+            real=_real_pair_mask(u_rows[r * SL:(r + 1) * SL, :])
+            if prodlog else None)
         nb_ref[r] = nb_cat
         for a in range(NROT):
             eb_ref[r, a] = EB[a * LANE:(a + 1) * LANE]
@@ -873,7 +926,7 @@ def _scatter_onehots(res, rot, nbp, dtype=np.float32):
 
 
 def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
-                   stacked, rb, E1, E_pair, S6, S6T, valid, init):
+                   stacked, rb, prodlog, E1, E_pair, S6, S6T, valid, init):
     """Pad and invoke the mega-kernel over a leading replica axis.
     E1 (b, R, 6), E_pair (b, nb, nb); S6/S6T/valid shared.  rb > 1 runs
     the replica-blocked kernel with rb replicas per grid step (clamped to
@@ -934,7 +987,7 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
     if RB > 1:
         kernel = functools.partial(_bp_pairs_kernel_rb, R, NBP, RB,
                                    damping, max_iter, tol, chunk, warm,
-                                   bf16)
+                                   bf16, prodlog)
         scratch_shapes = [
             pltpu.VMEM((NBP, RB * NBP), f32),      # es_cat
             pltpu.VMEM((SL, RB * NBP), f32),       # h
@@ -948,7 +1001,7 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
     elif stacked:
         kernel = functools.partial(_bp_pairs_kernel_stacked, R, NBP,
                                    damping, max_iter, tol, chunk, warm,
-                                   bf16, stacked)
+                                   bf16, stacked, prodlog)
     else:
         kernel = functools.partial(_bp_pairs_kernel, R, NBP, damping,
                                    max_iter, tol, chunk, warm, bf16)
@@ -1006,12 +1059,24 @@ def _rb_default():
     Values > 1 batch the four exact scatter dots across the block in
     single wide MXU issues while keeping per-replica solve loops; wins
     iff the kernel is issue-bound on those dots (A/B in
-    tools/tpu_session4c.sh decides the default)."""
+    tools/tpu_session4c.sh decides the default — measured LOSS at every
+    block size, bench_logs/r4c_0819_1023, so the default stays 1)."""
     return int(os.environ.get("UPSIDE_BP_RB", "1"))
 
 
+def _prodlog_default():
+    """UPSIDE_BP_PRODLOG: 1 pins identity-plane messages to exactly 1.0
+    and computes node beliefs from lane PRODUCTS of the real messages
+    instead of per-element log sums (see _stacked_solve_bethe) — same
+    fixed point, ~1M fewer VPU ops per sweep.  Stacked/rb kernels only;
+    the per-plane variant-0 kernel keeps the log path as the numeric
+    cross-check reference."""
+    return int(os.environ.get("UPSIDE_BP_PRODLOG", "0"))
+
+
 @functools.lru_cache(maxsize=None)
-def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1):
+def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1,
+                    prodlog=0):
     """custom_vmap wrapper: a replica ensemble maps to the kernel's grid
     with the scatter one-hots and validity mask shared, not broadcast."""
     R, damping, max_iter, tol, chunk = static
@@ -1021,7 +1086,7 @@ def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1):
         init = (nb0[None], eb0[None]) if warm else None
         F, G1, dE, nb, eb = _bp_pairs_impl(
             R, damping, max_iter, tol, chunk, interpret, bf16, stacked, 1,
-            E1[None], E_pair[None], S6, S6T, valid, init)
+            prodlog, E1[None], E_pair[None], S6, S6T, valid, init)
         return F[0], G1[0], dE[0], nb[0], eb[0]
 
     @run.def_vmap
@@ -1043,8 +1108,8 @@ def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1):
         else:
             init = None
         out = _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret,
-                             bf16, stacked, rb, E1, E_pair, S6, S6T, valid,
-                             init)
+                             bf16, stacked, rb, prodlog, E1, E_pair, S6,
+                             S6T, valid, init)
         return out, (True,) * 5
 
     return run
@@ -1069,7 +1134,8 @@ def bp_bethe_pairs(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
     nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
     F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
-                                        _stacked_default(), _rb_default())(
+                                        _stacked_default(), _rb_default(),
+                                        _prodlog_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return F, nb, eb
 
@@ -1080,7 +1146,8 @@ def _bp_pairs_fwd(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
     nb0, eb0 = init if warm else (jnp.zeros((LANE, NROT), jnp.float32),
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
     F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
-                                        _stacked_default(), _rb_default())(
+                                        _stacked_default(), _rb_default(),
+                                        _prodlog_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return (F, nb, eb), (G1, dE, jnp.zeros((0,), E1.dtype),
                          jnp.zeros((0,), E_pair.dtype))
