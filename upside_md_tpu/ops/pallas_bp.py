@@ -653,7 +653,12 @@ def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
             # such rows via centering, so the fallback preserves solve
             # robustness rather than NaN-ing.
             q = jnp.sqrt(jnp.sqrt(jnp.maximum(EB, 1e-30)))
-            p = jnp.prod(q, axis=1, keepdims=True)    # (SL, 1)
+            # halving-tree lane product (Mosaic has no reduce_prod
+            # lowering): 7 static-slice multiplies 128 -> 1
+            p = q
+            while p.shape[1] > 1:
+                h = p.shape[1] // 2
+                p = p[:, :h] * p[:, h:]               # (SL, h)
             lp = 4.0 * jnp.log(jnp.maximum(p, 1e-38))
             smax = _reduce(_blocks_r(
                 jnp.where(valid_s > 0, lp, f32(-3e38))), jnp.maximum)
