@@ -314,9 +314,19 @@ def main():
         if not (rel < 1e-3):
             print("BP VARIANT NUMERIC CHECK FAILED")
 
+    # --bp-jolt=AMP: per-iteration multiplicative perturbation of E_pair.
+    # The default 1e-6 leaves the warm start nearly converged (~2 sweeps),
+    # which UNDERestimates the in-MD BP cost (bp_sweeps_mean ~7 along a
+    # real trajectory, where positions move O(dt) per stage).  Calibrate
+    # AMP until the printed mean sweeps matches bench.py's bp_sweeps_mean
+    # to read an honest in-MD solve cost.
+    jolt = [float(a.split("=", 1)[1]) for a in sys.argv
+            if a.startswith("--bp-jolt=")]
+    jolt = jolt[0] if jolt else 1e-6
+
     def body_bp_fwd(i, carry):
         e1, ep, nb, eb = carry
-        ep2 = ep * (1.0 + 1e-6 * jnp.sin(i.astype(jnp.float32)))
+        ep2 = ep * (1.0 + jolt * jnp.sin(i.astype(jnp.float32)))
         F, nb, eb = jax.vmap(bp_warm)(e1, ep2, nb, eb)
         return (e1, ep, jax.lax.stop_gradient(nb),
                 jax.lax.stop_gradient(eb))
@@ -324,6 +334,13 @@ def main():
     if "bp" in only:
         loop_time(body_bp_fwd, (E1, E_pair, nb0, eb0), n_iters,
                   "BP mega-kernel warm fwd")
+        # mean sweeps at this jolt (diagnostics col 7 of the final nb)
+        @jax.jit
+        def final_nb(carry):
+            return jax.lax.fori_loop(0, n_iters, body_bp_fwd, carry)[2]
+        nbf = final_nb((E1, E_pair, nb0, eb0))
+        print(f"{'':4s}jolt {jolt:g}: mean sweeps "
+              f"{float(jnp.mean(nbf[:, 0, 7])):.2f}")
 
     def bp_loss(e1, ep, nb, eb):
         F, nb2, eb2 = bp_warm(e1, ep, nb, eb)
@@ -334,7 +351,7 @@ def main():
 
     def body_bp_fb(i, carry):
         e1, ep, nb, eb = carry
-        ep2 = ep * (1.0 + 1e-6 * jnp.sin(i.astype(jnp.float32)))
+        ep2 = ep * (1.0 + jolt * jnp.sin(i.astype(jnp.float32)))
         (F, (nb, eb)), (g1, g2) = bp_vg(e1, ep2, nb, eb)
         return (e1 + 0.0 * g1, ep + 0.0 * g2,
                 jax.lax.stop_gradient(nb), jax.lax.stop_gradient(eb))
