@@ -14,7 +14,8 @@ Pieces:
   * full force evaluation (context)
 
 Usage: python tools/perf_loop.py [n_replica] [n_iters]
-         [--only=up,fused,bp,full]  [--prefix[=stride]]
+         [--only=up,fused,bp,full,glue]  [--prefix[=stride]]
+         [--bp-jolt=AMP]  [--bp-zero]
 
 --prefix times cumulative topological prefixes of the non-fused node
 graph (energy+grad per prefix, in-loop); consecutive deltas attribute
@@ -226,142 +227,142 @@ def main():
         loop_time(body_fused_fb, outs0, n_iters, "fused pair block fwd+bwd")
 
     # ---- 3. BP mega-kernel (warm start, like MD) -----------------------
-    if "bp" not in only:
-        if "full" not in only:
-            return
-    from upside_md_tpu.nodes.rotamer import (assemble_one_body,
-                                             assemble_pair_grid)
-    from upside_md_tpu.ops.pallas_bp import (LANE, _scatter_onehots,
-                                             bp_bethe_pairs)
-    rot = plan.rot
-    consts, rparams = rot.consts, params[rot.name]
-
-    def rot_inputs(o):
-        inputs = [o[a] for a in rot.args]
-        x, E1, offset, prob, valid = assemble_one_body(consts, rparams,
-                                                       inputs)
-        E_pair, _ = assemble_pair_grid(consts, rparams, x)
-        return E1, E_pair
-
-    # make the coverage outputs available to rot_inputs
-    def full_outputs(p):
-        outputs = {"pos": p}
-        extra = {"_cache_out": {}}
-        for s in system.specs:
-            if s.name == plan.rot.name:
-                continue
-            inputs = [outputs[a] for a in s.args]
-            extra["_node_name"] = s.name
-            outputs[s.name] = s.node_type.compute(
-                s.consts, params.get(s.name, {}), inputs, extra)
-        return {k: outputs[k] for k in set(rot.args) | {"pos"}}
-
-    outs_full = jax.jit(jax.vmap(full_outputs))(posb)
-    E1, E_pair = jax.jit(jax.vmap(rot_inputs))(outs_full)
-    valid = jnp.asarray(consts["valid"])
-    n_bead = E_pair.shape[1]
-    nbp = -(-n_bead // LANE) * LANE
-    S6 = jnp.asarray(_scatter_onehots(consts["res"], consts["rot"], nbp))
-    S6T = jnp.asarray(np.ascontiguousarray(
-        _scatter_onehots(consts["res"], consts["rot"], nbp).T))
-    # CPU smoke-testing hook: interpret-mode kernels off-TPU
-    interp = jax.default_backend() != "tpu"
-    # --bp-zero: max_iter=0 skips the solve entirely (scatter dots +
-    # Bethe/gradient assembly + exp only) — separates solve cost from
-    # assembly cost
-    max_iter = 0 if "--bp-zero" in sys.argv else int(consts["max_iter"])
-    static = (int(consts["n_res"]), float(consts["damping"]),
-              max_iter, float(consts["tol"]), 2)
-
-    def bp_warm(e1, ep, nb0, eb0):
-        return bp_bethe_pairs(static, interp, False,
-                              e1.astype(jnp.float32),
-                              ep.astype(jnp.float32), S6, S6T,
-                              valid, (nb0, eb0))
-
-    # converge once to get warm messages
-    def bp_cold(e1, ep):
-        return bp_bethe_pairs(static, interp, False,
-                              e1.astype(jnp.float32),
-                              ep.astype(jnp.float32), S6, S6T, valid, None)
-
-    F0, nb0, eb0 = jax.jit(jax.vmap(bp_cold))(E1, E_pair)
-
-    # numeric cross-check: a Mosaic lowering bug in a stacked variant must
-    # not be allowed to "win" the A/B with wrong numbers (the variants
-    # compute identical sweeps, so cold-solve free energies must agree to
-    # float noise).  tools/tpu_session.sh skips variants whose log carries
-    # the failure marker.
-    variant = os.environ.get("UPSIDE_BP_STACKED", "2")   # package default
-    rb = os.environ.get("UPSIDE_BP_RB", "1")
-    if "bp" in only and (variant != "0" or rb != "1"):
-        os.environ["UPSIDE_BP_STACKED"] = "0"
-        os.environ["UPSIDE_BP_RB"] = "1"
-        try:
-            def bp_cold_ref(e1, ep):
-                return bp_bethe_pairs(static, interp, False,
-                                      e1.astype(jnp.float32),
-                                      ep.astype(jnp.float32), S6, S6T,
-                                      valid, None)
-            F_ref = jax.jit(jax.vmap(bp_cold_ref))(E1, E_pair)[0]
-        finally:
-            os.environ["UPSIDE_BP_STACKED"] = variant
-            os.environ["UPSIDE_BP_RB"] = rb
-        rel = float(jnp.max(jnp.abs(F0 - F_ref)) /
-                    jnp.maximum(jnp.max(jnp.abs(F_ref)), 1.0))
-        print(f"variant {variant} rb {rb} vs per-plane: cold-solve "
-              f"free-energy rel err {rel:.3e}")
-        if not (rel < 1e-3):
-            print("BP VARIANT NUMERIC CHECK FAILED")
-
-    # --bp-jolt=AMP: per-iteration multiplicative perturbation of E_pair.
-    # The default 1e-6 leaves the warm start nearly converged (~2 sweeps),
-    # which UNDERestimates the in-MD BP cost (bp_sweeps_mean ~7 along a
-    # real trajectory, where positions move O(dt) per stage).  Calibrate
-    # AMP until the printed mean sweeps matches bench.py's bp_sweeps_mean
-    # to read an honest in-MD solve cost.
-    jolt = [float(a.split("=", 1)[1]) for a in sys.argv
-            if a.startswith("--bp-jolt=")]
-    jolt = jolt[0] if jolt else 1e-6
-
-    def body_bp_fwd(i, carry):
-        e1, ep, nb, eb = carry
-        ep2 = ep * (1.0 + jolt * jnp.sin(i.astype(jnp.float32)))
-        F, nb, eb = jax.vmap(bp_warm)(e1, ep2, nb, eb)
-        return (e1, ep, jax.lax.stop_gradient(nb),
-                jax.lax.stop_gradient(eb))
-
+    if "bp" not in only and not ({"full", "glue"} & only):
+        return
     if "bp" in only:
-        loop_time(body_bp_fwd, (E1, E_pair, nb0, eb0), n_iters,
-                  "BP mega-kernel warm fwd")
-        # mean sweeps at this jolt (diagnostics col 7 of the final nb)
-        @jax.jit
-        def final_nb(carry):
-            return jax.lax.fori_loop(0, n_iters, body_bp_fwd, carry)[2]
-        nbf = final_nb((E1, E_pair, nb0, eb0))
-        print(f"{'':4s}jolt {jolt:g}: mean sweeps "
-              f"{float(jnp.mean(nbf[:, 0, 7])):.2f}")
+        from upside_md_tpu.nodes.rotamer import (assemble_one_body,
+                                                 assemble_pair_grid)
+        from upside_md_tpu.ops.pallas_bp import (LANE, _scatter_onehots,
+                                                 bp_bethe_pairs)
+        rot = plan.rot
+        consts, rparams = rot.consts, params[rot.name]
 
-    def bp_loss(e1, ep, nb, eb):
-        F, nb2, eb2 = bp_warm(e1, ep, nb, eb)
-        return F, (nb2, eb2)
+        def rot_inputs(o):
+            inputs = [o[a] for a in rot.args]
+            x, E1, offset, prob, valid = assemble_one_body(consts, rparams,
+                                                           inputs)
+            E_pair, _ = assemble_pair_grid(consts, rparams, x)
+            return E1, E_pair
 
-    bp_vg = jax.vmap(jax.value_and_grad(bp_loss, argnums=(0, 1),
-                                        has_aux=True))
+        # make the coverage outputs available to rot_inputs
+        def full_outputs(p):
+            outputs = {"pos": p}
+            extra = {"_cache_out": {}}
+            for s in system.specs:
+                if s.name == plan.rot.name:
+                    continue
+                inputs = [outputs[a] for a in s.args]
+                extra["_node_name"] = s.name
+                outputs[s.name] = s.node_type.compute(
+                    s.consts, params.get(s.name, {}), inputs, extra)
+            return {k: outputs[k] for k in set(rot.args) | {"pos"}}
 
-    def body_bp_fb(i, carry):
-        e1, ep, nb, eb = carry
-        ep2 = ep * (1.0 + jolt * jnp.sin(i.astype(jnp.float32)))
-        (F, (nb, eb)), (g1, g2) = bp_vg(e1, ep2, nb, eb)
-        return (e1 + 0.0 * g1, ep + 0.0 * g2,
-                jax.lax.stop_gradient(nb), jax.lax.stop_gradient(eb))
+        outs_full = jax.jit(jax.vmap(full_outputs))(posb)
+        E1, E_pair = jax.jit(jax.vmap(rot_inputs))(outs_full)
+        valid = jnp.asarray(consts["valid"])
+        n_bead = E_pair.shape[1]
+        nbp = -(-n_bead // LANE) * LANE
+        S6 = jnp.asarray(_scatter_onehots(consts["res"], consts["rot"], nbp))
+        S6T = jnp.asarray(np.ascontiguousarray(
+            _scatter_onehots(consts["res"], consts["rot"], nbp).T))
+        # CPU smoke-testing hook: interpret-mode kernels off-TPU
+        interp = jax.default_backend() != "tpu"
+        # --bp-zero: max_iter=0 skips the solve entirely (scatter dots +
+        # Bethe/gradient assembly + exp only) — separates solve cost from
+        # assembly cost
+        max_iter = 0 if "--bp-zero" in sys.argv else int(consts["max_iter"])
+        static = (int(consts["n_res"]), float(consts["damping"]),
+                  max_iter, float(consts["tol"]), 2)
 
-    if "bp" in only:
-        loop_time(body_bp_fb, (E1, E_pair, nb0, eb0), n_iters,
-                  "BP mega-kernel warm fwd+VJP")
+        def bp_warm(e1, ep, nb0, eb0):
+            return bp_bethe_pairs(static, interp, False,
+                                  e1.astype(jnp.float32),
+                                  ep.astype(jnp.float32), S6, S6T,
+                                  valid, (nb0, eb0))
+
+        # converge once to get warm messages
+        def bp_cold(e1, ep):
+            return bp_bethe_pairs(static, interp, False,
+                                  e1.astype(jnp.float32),
+                                  ep.astype(jnp.float32), S6, S6T, valid, None)
+
+        F0, nb0, eb0 = jax.jit(jax.vmap(bp_cold))(E1, E_pair)
+
+        # numeric cross-check: a Mosaic lowering bug in a stacked variant must
+        # not be allowed to "win" the A/B with wrong numbers (the variants
+        # compute identical sweeps, so cold-solve free energies must agree to
+        # float noise).  tools/tpu_session.sh skips variants whose log carries
+        # the failure marker.
+        variant = os.environ.get("UPSIDE_BP_STACKED", "2")   # package default
+        rb = os.environ.get("UPSIDE_BP_RB", "1")
+        if "bp" in only and (variant != "0" or rb != "1"):
+            os.environ["UPSIDE_BP_STACKED"] = "0"
+            os.environ["UPSIDE_BP_RB"] = "1"
+            try:
+                def bp_cold_ref(e1, ep):
+                    return bp_bethe_pairs(static, interp, False,
+                                          e1.astype(jnp.float32),
+                                          ep.astype(jnp.float32), S6, S6T,
+                                          valid, None)
+                F_ref = jax.jit(jax.vmap(bp_cold_ref))(E1, E_pair)[0]
+            finally:
+                os.environ["UPSIDE_BP_STACKED"] = variant
+                os.environ["UPSIDE_BP_RB"] = rb
+            rel = float(jnp.max(jnp.abs(F0 - F_ref)) /
+                        jnp.maximum(jnp.max(jnp.abs(F_ref)), 1.0))
+            print(f"variant {variant} rb {rb} vs per-plane: cold-solve "
+                  f"free-energy rel err {rel:.3e}")
+            if not (rel < 1e-3):
+                print("BP VARIANT NUMERIC CHECK FAILED")
+
+        # --bp-jolt=AMP: per-iteration multiplicative perturbation of E_pair.
+        # The default 1e-6 leaves the warm start nearly converged (~2 sweeps),
+        # which UNDERestimates the in-MD BP cost (bp_sweeps_mean ~7 along a
+        # real trajectory, where positions move O(dt) per stage).  Calibrate
+        # AMP until the printed mean sweeps matches bench.py's bp_sweeps_mean
+        # to read an honest in-MD solve cost.
+        jolt = [float(a.split("=", 1)[1]) for a in sys.argv
+                if a.startswith("--bp-jolt=")]
+        jolt = jolt[0] if jolt else 1e-6
+
+        def body_bp_fwd(i, carry):
+            e1, ep, nb, eb = carry
+            ep2 = ep * (1.0 + jolt * jnp.sin(i.astype(jnp.float32)))
+            F, nb, eb = jax.vmap(bp_warm)(e1, ep2, nb, eb)
+            return (e1, ep, jax.lax.stop_gradient(nb),
+                    jax.lax.stop_gradient(eb))
+
+        if "bp" in only:
+            loop_time(body_bp_fwd, (E1, E_pair, nb0, eb0), n_iters,
+                      "BP mega-kernel warm fwd")
+            # mean sweeps at this jolt (diagnostics col 7 of the final nb)
+            @jax.jit
+            def final_nb(carry):
+                return jax.lax.fori_loop(0, n_iters, body_bp_fwd, carry)[2]
+            nbf = final_nb((E1, E_pair, nb0, eb0))
+            print(f"{'':4s}jolt {jolt:g}: mean sweeps "
+                  f"{float(jnp.mean(nbf[:, 0, 7])):.2f}")
+
+        def bp_loss(e1, ep, nb, eb):
+            F, nb2, eb2 = bp_warm(e1, ep, nb, eb)
+            return F, (nb2, eb2)
+
+        bp_vg = jax.vmap(jax.value_and_grad(bp_loss, argnums=(0, 1),
+                                            has_aux=True))
+
+        def body_bp_fb(i, carry):
+            e1, ep, nb, eb = carry
+            ep2 = ep * (1.0 + jolt * jnp.sin(i.astype(jnp.float32)))
+            (F, (nb, eb)), (g1, g2) = bp_vg(e1, ep2, nb, eb)
+            return (e1 + 0.0 * g1, ep + 0.0 * g2,
+                    jax.lax.stop_gradient(nb), jax.lax.stop_gradient(eb))
+
+        if "bp" in only:
+            loop_time(body_bp_fb, (E1, E_pair, nb0, eb0), n_iters,
+                      "BP mega-kernel warm fwd+VJP")
 
     # ---- 4. full force evaluation (context) ----------------------------
-    if "full" not in only:
+    if not ({"full", "glue"} & only):
         return
     from upside_md_tpu.md.sim import Simulation
     sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
@@ -369,16 +370,42 @@ def main():
     state0 = sim.initial_state(pos, params, seed=1234, temperature=0.85,
                                n_replica=n_rep)
     n_rounds = max(n_iters // 3, 1)
-    state_box = [state0]
 
-    def adv():
-        state_box[0] = sim.advance(state_box[0], params, n_rounds, True)
-        return state_box[0].pos
+    def time_advance(label, the_sim):
+        state_box = [state0]
 
-    t = timed(adv)
-    print(f"{'full advance (context)':48s} "
-          f"{t / (3 * n_rounds) * 1e3:9.3f} ms/eval"
-          f"   ({t*1e3:8.1f} ms / {3*n_rounds})")
+        def adv():
+            state_box[0] = the_sim.advance(state_box[0], params, n_rounds,
+                                           True)
+            return state_box[0].pos
+
+        t = timed(adv)
+        print(f"{label:48s} {t / (3 * n_rounds) * 1e3:9.3f} ms/eval"
+              f"   ({t*1e3:8.1f} ms / {3*n_rounds})")
+
+    if "full" in only:
+        time_advance("full advance (context)", sim)
+
+    # ---- 5. MD glue (advance with a trivial force) ----------------------
+    # Times everything advance does AROUND the forcefield — integrator
+    # stage scan, thermostat cond + RNG, warm-start cache threading (at
+    # the REAL cache size: state0 carries the BP nb/eb planes, passed
+    # through unchanged), the fori_loop/vmap structure — by substituting
+    # a near-free quadratic energy.  full - glue = true forcefield cost
+    # inside the loop.  A fresh Simulation instance is required: advance
+    # is jitted with self static, so patching the shared instance would
+    # silently reuse the full-forcefield trace.
+    if "glue" in only:
+        import copy
+
+        glue_system = copy.copy(system)
+        glue_system.energy_and_cache = \
+            lambda p, params, extra=None, cache=None: \
+            (1e-6 * jnp.sum(p * p), dict(cache or {}))
+        glue_sim = Simulation(glue_system, dt=0.009,
+                              thermostat_interval=0.135,
+                              do_recenter=False)
+        time_advance("glue advance (trivial force)", glue_sim)
 
 
 if __name__ == "__main__":

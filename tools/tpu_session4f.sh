@@ -24,6 +24,7 @@ run() {
 }
 
 run pieces 3600 python tools/perf_loop.py 64 30 --only=up,fused,bp,full
+run glue 2400 python tools/perf_loop.py 64 30 --only=glue
 run bpjolt3e3 2400 python tools/perf_loop.py 64 30 --only=bp --bp-jolt=3e-3
 run bpjolt1e2 2400 python tools/perf_loop.py 64 30 --only=bp --bp-jolt=1e-2
 run bpzero 2400 python tools/perf_loop.py 64 30 --only=bp --bp-zero
