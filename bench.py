@@ -68,7 +68,13 @@ def _tpu_tunnel_alive(max_wait):
 
 
 def main():
-    n_replica = int(os.environ.get("BENCH_REPLICAS", "64"))
+    # Default operating point: 256 replicas/chip — the measured per-chip
+    # aggregate maximum (BENCH_NOTES replica-scaling table: 10,648 steps/s
+    # at 256 vs 9,121 at 64; flat beyond).  The north star (BASELINE.md)
+    # is an aggregate-throughput target, so the headline is measured at
+    # the production operating point; BENCH_REPLICAS=64 reproduces the
+    # round-2/3 configuration.
+    n_replica = int(os.environ.get("BENCH_REPLICAS", "256"))
     if os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
         wait = float(os.environ.get("BENCH_TUNNEL_WAIT", "3600"))
         if not _tpu_tunnel_alive(wait):

@@ -226,6 +226,76 @@ def main():
         loop_time(body_fused_fwd, outs0, n_iters, "fused pair block fwd")
         loop_time(body_fused_fb, outs0, n_iters, "fused pair block fwd+bwd")
 
+    # ---- 2b. full downstream block (fused kernel + member nodes) --------
+    # Everything below the upstream cut: the fused Pallas call PLUS the
+    # member nodes that consume it (coverage energies, env, and the
+    # rotamer node's assemblies + warm-start BP + VJP), differentiated
+    # wrt the upstream outputs.  full - upstream - down = residual
+    # glue/HBM-traffic between the blocks.  --bp-jolt applies here too so
+    # the BP solve runs an MD-like sweep count.
+    if "down" in only:
+        jolt_d = [float(a.split("=", 1)[1]) for a in sys.argv
+                  if a.startswith("--bp-jolt=")]
+        jolt_d = jolt_d[0] if jolt_d else 1e-6
+        # member args beyond plan.input_names (e.g. the env node's
+        # weighted_pos input) must also cross the cut
+        needed = plan.input_names | {
+            a for s in system.specs if s.name in plan.member_names
+            for a in s.args}
+
+        def upstream_down(p):
+            outputs = {"pos": p}
+            extra = {"_cache_out": {}}
+            for s in system.specs:
+                if s.name in plan.member_names \
+                        and s.name not in needed_members:
+                    continue
+                inputs = [outputs[a] for a in s.args]
+                extra["_node_name"] = s.name
+                outputs[s.name] = s.node_type.compute(
+                    s.consts, params.get(s.name, {}), inputs, extra)
+            return {k: outputs[k] for k in needed if k in outputs}
+
+        outs0 = jax.jit(jax.vmap(upstream_down))(posb)
+        cache0 = system.init_cache()
+
+        def down_energy(o, cache):
+            outputs = dict(o)
+            extra = {"_cache": cache, "_cache_out": {}}
+            extra["_fused"] = plan.compute(params, outputs)
+            tot = 0.0
+            for s in system.specs:
+                if s.name not in plan.member_names:
+                    continue
+                inputs = [outputs[a] for a in s.args]
+                extra["_node_name"] = s.name
+                out = s.node_type.compute(s.consts,
+                                          params.get(s.name, {}),
+                                          inputs, extra)
+                if s.node_type.is_potential:
+                    tot = tot + jnp.sum(out)
+                else:
+                    outputs[s.name] = out
+            return tot, extra["_cache_out"]
+
+        # converge once for a warm cache
+        _, cache_w = jax.jit(jax.vmap(
+            lambda o: down_energy(o, cache0)))(outs0)
+        down_vg = jax.vmap(jax.value_and_grad(down_energy, has_aux=True))
+
+        def body_down(i, carry):
+            o, cache = carry
+            o2 = jax.tree_util.tree_map(
+                lambda x: x * (1.0 + jolt_d * jnp.sin(
+                    i.astype(jnp.float32))), o)
+            (_, cache), g = down_vg(o2, cache)
+            return (jax.tree_util.tree_map(
+                lambda x, gg: x + 0.0 * gg, o, g),
+                jax.tree_util.tree_map(jax.lax.stop_gradient, cache))
+
+        loop_time(body_down, (outs0, cache_w), n_iters,
+                  "downstream block (fused+members+BP) e+g")
+
     # ---- 3. BP mega-kernel (warm start, like MD) -----------------------
     if "bp" not in only and not ({"full", "glue"} & only):
         return
