@@ -224,7 +224,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     for key, (stacked, prodlog) in cases.items():
         outs[key] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked, 1,
-            prodlog, E1[None], E_pair[None], S6j, S6Tj, valid, None)
+            prodlog, 0, E1[None], E_pair[None], S6j, S6Tj, valid, None)
     check(outs)
 
     # warm-start path too
@@ -232,7 +232,7 @@ def test_pairs_kernel_stacked_matches_unstacked(rng):
     for key, (stacked, prodlog) in cases.items():
         outs[key] = _bp_pairs_impl(
             E1.shape[0], 0.4, 1000, 1e-4, 2, True, False, stacked, 1,
-            prodlog, 1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
+            prodlog, 0, 1.01 * E1[None], E_pair[None], S6j, S6Tj, valid,
             (nb0, eb0))
     check(outs)
 
@@ -330,10 +330,10 @@ def test_pairs_kernel_replica_blocked_matches_single(rng):
     E1b = jnp.stack([E1 + 0.05 * i for i in range(B)])
     Epb = jnp.stack([E_pair * (1.0 + 0.03 * i) for i in range(B)])
 
-    def run(rb, init=None, prodlog=0):
+    def run(rb, init=None, prodlog=0, lockstep=0):
         return _bp_pairs_impl(E1.shape[0], 0.4, 1000, 1e-4, 2, True,
-                              False, 2, rb, prodlog, E1b, Epb, S6j, S6Tj,
-                              valid, init)
+                              False, 2, rb, prodlog, lockstep, E1b, Epb,
+                              S6j, S6Tj, valid, init)
 
     def check(a_outs, b_outs, tag):
         for a, b, name in zip(a_outs, b_outs, ("F", "G1", "dE", "nb",
@@ -359,3 +359,13 @@ def test_pairs_kernel_replica_blocked_matches_single(rng):
     basew = run(1, (nb0, eb0))
     for rb in (2, 4):
         check(basew, run(rb, (nb0, eb0)), f"rb={rb} warm")
+
+    # lockstep solve: per-replica message trajectories are identical to
+    # the single-replica solve (replicas are uncoupled), so iteration
+    # counts recorded at first convergence must match EXACTLY; a replica
+    # that converged early keeps sweeping to the block max, which can
+    # only converge it further — values agree to float reorder
+    for rb in (2, 4):
+        check(base, run(rb, lockstep=1), f"rb={rb} lockstep cold")
+        check(basew, run(rb, (nb0, eb0), lockstep=1),
+              f"rb={rb} lockstep warm")

@@ -34,20 +34,21 @@ def _small_problem():
     return R, S6, S6T, valid, E1, Ep
 
 
-@pytest.mark.parametrize("stacked,rb,prodlog", [
-    (0, 1, 0),            # per-plane reference kernel
-    (1, 1, 0),            # stacked, concat tiling
-    (2, 1, 0),            # stacked, broadcast tiling (package default)
-    (3, 1, 0),            # stacked, whole-array transpose
-    (2, 1, 1),            # prodlog on the default variant
-    (3, 1, 1),
-    (2, 2, 0),            # replica-blocked
+@pytest.mark.parametrize("stacked,rb,prodlog,lockstep", [
+    (0, 1, 0, 0),         # per-plane reference kernel
+    (1, 1, 0, 0),         # stacked, concat tiling
+    (2, 1, 0, 0),         # stacked, broadcast tiling (package default)
+    (3, 1, 0, 0),         # stacked, whole-array transpose
+    (2, 1, 1, 0),         # prodlog on the default variant
+    (3, 1, 1, 0),
+    (2, 2, 0, 0),         # replica-blocked
+    (2, 2, 0, 1),         # replica-blocked, lockstep solve
 ])
-def test_bp_kernel_variants_lower_for_tpu(stacked, rb, prodlog):
+def test_bp_kernel_variants_lower_for_tpu(stacked, rb, prodlog, lockstep):
     def f(e1, ep):
         return _bp_pairs_impl(R, 0.4, 100, 1e-4, 2, False, False,
-                              stacked, rb, prodlog, e1, ep, S6, S6T,
-                              valid, None)
+                              stacked, rb, prodlog, lockstep, e1, ep, S6,
+                              S6T, valid, None)
 
     # the suite runs under x64 (conftest); the kernels are f32-only on
     # real TPUs, and Mosaic cannot lower f64 casts — lower what the TPU

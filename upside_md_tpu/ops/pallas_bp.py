@@ -577,6 +577,19 @@ def _stack_cols(ref2d, n=NROT):
          for a in range(n)], axis=0)
 
 
+def _stacked_node_prep(e1_2d, valid_2d):
+    """(valid_s, masked_s, offset, probC_s) column stacks from the (128,
+    >=6) one-body energy/validity planes (shared by the stacked and
+    lockstep solvers)."""
+    f32 = jnp.float32
+    valid_s = _stack_cols(valid_2d)                   # (SL, 1)
+    e1_s = _stack_cols(e1_2d)
+    masked_s = jnp.where(valid_s > 0, e1_s, f32(1e30))
+    offset = _reduce(_blocks_r(masked_s), jnp.minimum)    # (128, 1)
+    probC_s = jnp.where(valid_s > 0, jnp.exp(_tile_r(offset) - e1_s), 0.0)
+    return valid_s, masked_s, offset, probC_s
+
+
 def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
                          P_stack, e1_2d, valid_2d, init, real=None):
     """One replica's stacked-plane BP solve + Bethe assembly, from the
@@ -617,11 +630,8 @@ def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
     adjP_t = _tile_r(adjP)
 
     # ---- stacked node prep ----------------------------------------------
-    valid_s = _stack_cols(valid_2d)                   # (SL, 1)
-    e1_s = _stack_cols(e1_2d)
-    masked_s = jnp.where(valid_s > 0, e1_s, f32(1e30))
-    offset = _reduce(_blocks_r(masked_s), jnp.minimum)    # (128, 1)
-    probC_s = jnp.where(valid_s > 0, jnp.exp(_tile_r(offset) - e1_s), 0.0)
+    valid_s, masked_s, offset, probC_s = _stacked_node_prep(e1_2d,
+                                                            valid_2d)
 
     def rowblock_mul(A, B):
         """A (SL, n) * tile_r(B (128, n)) without materializing the tile."""
@@ -703,6 +713,25 @@ def _stacked_solve_bethe(R, damping, max_iter, tol, chunk, bcast, t_tall,
     state = (jnp.asarray(0, jnp.int32), f32(np.inf), nb_s, EB)
     n_it, dev, nb_s, EB = jax.lax.while_loop(cond, body, state)
 
+    return _stacked_bethe_assembly(R, t_tall, P_stack, valid_s, masked_s,
+                                   offset, probC_s, nb_s, EB, dev,
+                                   n_it.astype(f32))
+
+
+def _stacked_bethe_assembly(R, t_tall, P_stack, valid_s, masked_s, offset,
+                            probC_s, nb_s, EB, dev, n_it):
+    """Bethe free energy + envelope gradients from a converged stacked
+    solve (the tail of _stacked_solve_bethe, shared with the lockstep
+    replica-blocked solver)."""
+    f32 = jnp.float32
+    SL = NROT * LANE
+    rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    live_row = (rows < R).astype(f32)
+    live = live_row * (cols < R).astype(f32)
+    triu = (rows < cols).astype(f32)
+    adjP = live * (rows != cols).astype(f32)
+
     tot = _reduce(_blocks_r(nb_s), jnp.add)
     bC_s = nb_s * _tile_r(1.0 / jnp.maximum(tot, EPS))
 
@@ -779,6 +808,97 @@ def _real_pair_mask(u_stack):
     return _reduce(_blocks_r(r6), jnp.add)            # (128, 128)
 
 
+def _lockstep_solve(R, RB, damping, max_iter, tol, chunk, P4, probC4,
+                    valid4, init4):
+    """Replica-LOCKSTEP damped BP solve: one while_loop advances all RB
+    replicas' sweeps together on 4D (RB, NROT, LANE, n) stacks, so every
+    per-sweep VPU op is RB× wider (the per-replica solve is
+    latency/issue-bound at (SL, 128) shapes — measured 0.085 ms/sweep for
+    64 replicas, bench_logs/r4f).  Replicas are uncoupled, so each
+    replica's message trajectory is IDENTICAL to its single-replica solve;
+    the loop runs to the max sweep count of the block, and a replica that
+    has converged keeps sweeping (extra damped sweeps only converge it
+    further — same fixed point).  Per-replica diagnostics record the
+    deviation and iteration count at FIRST convergence, which match the
+    single-replica exit values exactly.
+
+    P4 (RB, NROT, LANE, SL) plane stacks; probC4/valid4 (RB|1, NROT,
+    LANE, 1); init4 None or (nb4, EB4).  Returns (nb4, EB4, dev4, it4)
+    with dev4/it4 (RB, 1, 1, 1)."""
+    f32 = jnp.float32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    adjP = ((rows < R) & (cols < R) & (rows != cols)).astype(f32)
+    adj4 = adjP[None, None]                           # (1, 1, 128, 128)
+
+    def edge_update(nb4, EB4):
+        U4 = nb4 / (EPS + EB4)                        # (RB, 6, 128, 128)
+        W4 = jnp.concatenate(
+            [jnp.swapaxes(U4[:, a], 1, 2) for a in range(NROT)],
+            axis=2)[:, None]                          # (RB, 1, 128, SL)
+        PROD = P4 * W4                                # (RB, 6, 128, SL)
+        m4 = PROD[..., :LANE]
+        for b in range(1, NROT):
+            m4 = m4 + PROD[..., b * LANE:(b + 1) * LANE]
+        m4 = m4 * valid4                              # (RB, 6, 128, 128)
+        norm = jnp.sum(m4, axis=1, keepdims=True)     # (RB, 1, 128, 128)
+        rn = 1.0 / jnp.maximum(norm, EPS)
+        return jnp.where(adj4 > 0, m4 * rn, 1.0)
+
+    def node_update(EB4):
+        # max-centered log-message sums, exactly the plain (non-prodlog)
+        # stacked path: padded rows have all-zero LG (adj4 masks them), so
+        # the unmasked max keeps exp() bounded there
+        LG = jnp.log(jnp.maximum(EB4, 1e-30)) * adj4
+        sC = jnp.sum(LG, axis=3, keepdims=True)       # (RB, 6, 128, 1)
+        smax = jnp.max(sC, axis=1, keepdims=True)
+        nbC = probC4 * jnp.exp(sC - smax)
+        mx = jnp.max(nbC, axis=1, keepdims=True)
+        return nbC * (1.0 / jnp.maximum(mx, EPS))
+
+    if init4 is not None:
+        nb4, EB4 = init4
+    else:
+        EB4 = edge_update(probC4, jnp.ones((RB, NROT, LANE, LANE), f32))
+        mx0 = jnp.max(probC4, axis=1, keepdims=True)
+        nb4 = probC4 * (1.0 / jnp.maximum(mx0, EPS))
+
+    def per_replica_max(d4):
+        m = jnp.max(d4, axis=3, keepdims=True)
+        m = jnp.max(m, axis=1, keepdims=True)
+        return jnp.max(m, axis=2, keepdims=True)      # (RB, 1, 1, 1)
+
+    def cond(state):
+        it, dev4 = state[0], state[1]
+        return jnp.logical_and(it < max_iter, jnp.max(dev4) > tol)
+
+    def body(state):
+        it, _, done_it, done_dev, nb4, EB4 = state
+        nb_prev = nb4
+        for _ in range(chunk):
+            nb_prev = nb4
+            EB4 = edge_update(nb4, EB4)
+            nb_new = node_update(EB4)
+            nb4 = (1.0 - damping) * nb_new + damping * nb4
+        dev4 = per_replica_max(jnp.abs(nb4 - nb_prev))
+        it = it + chunk
+        first = (dev4 <= tol) & (done_it < 0)
+        done_it = jnp.where(first, f32(1.0) * it, done_it)
+        done_dev = jnp.where(first, dev4, done_dev)
+        return (it, dev4, done_it, done_dev, nb4, EB4)
+
+    shape1 = (RB, 1, 1, 1)
+    state = (jnp.asarray(0, jnp.int32), jnp.full(shape1, np.inf, f32),
+             jnp.full(shape1, -1.0, f32), jnp.full(shape1, np.inf, f32),
+             nb4, EB4)
+    n_it, dev4, done_it, done_dev, nb4, EB4 = \
+        jax.lax.while_loop(cond, body, state)
+    # replicas that hit max_iter report their final state
+    it4 = jnp.where(done_it < 0, f32(1.0) * n_it, done_it)
+    dev4f = jnp.where(done_it < 0, dev4, done_dev)
+    return nb4, EB4, dev4f, it4
+
+
 def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
                              bf16, stacked, prodlog, *refs):
     """Stacked-plane variant of _bp_pairs_kernel (identical semantics).
@@ -843,7 +963,7 @@ def _bp_pairs_kernel_stacked(R, NBP, damping, max_iter, tol, chunk, warm,
 
 
 def _bp_pairs_kernel_rb(R, NBP, RB, damping, max_iter, tol, chunk, warm,
-                        bf16, prodlog, *refs):
+                        bf16, prodlog, lockstep, *refs):
     """Replica-blocked stacked kernel: RB replicas per grid step.
 
     The per-replica kernel's cost is dominated by the four exact scatter
@@ -889,25 +1009,58 @@ def _bp_pairs_kernel_rb(R, NBP, RB, damping, max_iter, tol, chunk, warm,
     u_rows[:, :] = onehot_dot_r(h_rows[:, :], s6t2_ref[:, :])
 
     # ---- phase 2: per-replica solves + Bethe assembly --------------------
-    for r in range(RB):
-        P_stack = jnp.exp(-u_rows[r * SL:(r + 1) * SL, :])
+    if lockstep:
+        # one while_loop advances all RB replicas' sweeps together
+        # (prodlog is ignored on this path; see _lockstep_solve).  exp()
+        # lands back in the u_rows scratch so only one (RB*SL, SL) plane
+        # stack is live.
+        u_rows[:, :] = jnp.exp(-u_rows[:, :])
+        P4 = u_rows[:, :].reshape(RB, NROT, LANE, SL)
+        preps = [_stacked_node_prep(e1_ref[r], valid_ref[:, :])
+                 for r in range(RB)]
+        probC4 = jnp.stack([p[3].reshape(NROT, LANE, 1) for p in preps])
+        valid4 = preps[0][0].reshape(NROT, LANE, 1)[None]
         if warm:
-            init = (nb0_ref[r],
-                    jnp.concatenate([eb0_ref[r, a] for a in range(NROT)],
-                                    axis=0))
+            nb4 = jnp.stack([_stack_cols(nb0_ref[r]).reshape(NROT, LANE, 1)
+                             for r in range(RB)])
+            init4 = (nb4, eb0_ref[:, :, :, :])
         else:
-            init = None
-        nb_cat, EB, g1_cat, G_all, F = _stacked_solve_bethe(
-            R, damping, max_iter, tol, chunk, True, _t_tall,
-            P_stack, e1_ref[r], valid_ref[:, :], init,
-            real=_real_pair_mask(u_rows[r * SL:(r + 1) * SL, :])
-            if prodlog else None)
-        nb_ref[r] = nb_cat
-        for a in range(NROT):
-            eb_ref[r, a] = EB[a * LANE:(a + 1) * LANE]
-        g1_ref[r] = g1_cat
-        f_ref[r] = F.reshape(1, 1)
-        g_cat[:, r * SL:(r + 1) * SL] = G_all
+            init4 = None
+        nb4, EB4, dev4, it4 = _lockstep_solve(
+            R, RB, damping, max_iter, tol, chunk, P4, probC4, valid4,
+            init4)
+        eb_ref[:, :, :, :] = EB4
+        for r in range(RB):
+            valid_s, masked_s, offset, probC_s = preps[r]
+            nb_cat, _, g1_cat, G_all, F = _stacked_bethe_assembly(
+                R, _t_tall, P4[r].reshape(SL, SL), valid_s, masked_s,
+                offset, probC_s, nb4[r].reshape(SL, 1),
+                EB4[r].reshape(SL, LANE), jnp.max(dev4[r]),
+                jnp.max(it4[r]))
+            nb_ref[r] = nb_cat
+            g1_ref[r] = g1_cat
+            f_ref[r] = F.reshape(1, 1)
+            g_cat[:, r * SL:(r + 1) * SL] = G_all
+    else:
+        for r in range(RB):
+            P_stack = jnp.exp(-u_rows[r * SL:(r + 1) * SL, :])
+            if warm:
+                init = (nb0_ref[r],
+                        jnp.concatenate([eb0_ref[r, a]
+                                         for a in range(NROT)], axis=0))
+            else:
+                init = None
+            nb_cat, EB, g1_cat, G_all, F = _stacked_solve_bethe(
+                R, damping, max_iter, tol, chunk, True, _t_tall,
+                P_stack, e1_ref[r], valid_ref[:, :], init,
+                real=_real_pair_mask(u_rows[r * SL:(r + 1) * SL, :])
+                if prodlog else None)
+            nb_ref[r] = nb_cat
+            for a in range(NROT):
+                eb_ref[r, a] = EB[a * LANE:(a + 1) * LANE]
+            g1_ref[r] = g1_cat
+            f_ref[r] = F.reshape(1, 1)
+            g_cat[:, r * SL:(r + 1) * SL] = G_all
 
     # ---- phase 3: batched bead-space gradient contraction ----------------
     t1_wide[:, :] = onehot_dot_l(s6td2_ref[:, :], g_cat[:, :])
@@ -931,11 +1084,14 @@ def _scatter_onehots(res, rot, nbp, dtype=np.float32):
 
 
 def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
-                   stacked, rb, prodlog, E1, E_pair, S6, S6T, valid, init):
+                   stacked, rb, prodlog, lockstep, E1, E_pair, S6, S6T,
+                   valid, init):
     """Pad and invoke the mega-kernel over a leading replica axis.
     E1 (b, R, 6), E_pair (b, nb, nb); S6/S6T/valid shared.  rb > 1 runs
     the replica-blocked kernel with rb replicas per grid step (clamped to
-    the largest divisor of the replica count)."""
+    the largest divisor of the replica count); lockstep additionally
+    advances the block's BP sweeps in one 4D while_loop
+    (_lockstep_solve)."""
     f32 = jnp.float32
     n_rep, nb_count = E_pair.shape[0], E_pair.shape[1]
     NBP = S6.shape[1]
@@ -992,7 +1148,7 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
     if RB > 1:
         kernel = functools.partial(_bp_pairs_kernel_rb, R, NBP, RB,
                                    damping, max_iter, tol, chunk, warm,
-                                   bf16, prodlog)
+                                   bf16, prodlog, bool(lockstep))
         scratch_shapes = [
             pltpu.VMEM((NBP, RB * NBP), f32),      # es_cat
             pltpu.VMEM((SL, RB * NBP), f32),       # h
@@ -1075,13 +1231,23 @@ def _prodlog_default():
     instead of per-element log sums (see _stacked_solve_bethe) — same
     fixed point, ~1M fewer VPU ops per sweep.  Stacked/rb kernels only;
     the per-plane variant-0 kernel keeps the log path as the numeric
-    cross-check reference."""
+    cross-check reference.  Measured LOSS on TPU (bench_logs/r4e: narrow-
+    lane tree products cost more than the wide log), so the default is 0."""
     return int(os.environ.get("UPSIDE_BP_PRODLOG", "0"))
+
+
+def _lockstep_default():
+    """UPSIDE_BP_LOCKSTEP: 1 advances the whole replica block's BP sweeps
+    in ONE 4D while_loop (requires UPSIDE_BP_RB > 1; see _lockstep_solve).
+    The per-replica solve is issue-bound at (768, 128) shapes, so lockstep
+    widens every per-sweep op RB× at the cost of running each block to its
+    max sweep count."""
+    return int(os.environ.get("UPSIDE_BP_LOCKSTEP", "0"))
 
 
 @functools.lru_cache(maxsize=None)
 def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1,
-                    prodlog=0):
+                    prodlog=0, lockstep=0):
     """custom_vmap wrapper: a replica ensemble maps to the kernel's grid
     with the scatter one-hots and validity mask shared, not broadcast."""
     R, damping, max_iter, tol, chunk = static
@@ -1091,7 +1257,7 @@ def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1,
         init = (nb0[None], eb0[None]) if warm else None
         F, G1, dE, nb, eb = _bp_pairs_impl(
             R, damping, max_iter, tol, chunk, interpret, bf16, stacked, 1,
-            prodlog, E1[None], E_pair[None], S6, S6T, valid, init)
+            prodlog, 0, E1[None], E_pair[None], S6, S6T, valid, init)
         return F[0], G1[0], dE[0], nb[0], eb[0]
 
     @run.def_vmap
@@ -1113,8 +1279,8 @@ def _pairs_dispatch(static, interpret, bf16, warm, stacked, rb=1,
         else:
             init = None
         out = _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret,
-                             bf16, stacked, rb, prodlog, E1, E_pair, S6,
-                             S6T, valid, init)
+                             bf16, stacked, rb, prodlog, lockstep, E1,
+                             E_pair, S6, S6T, valid, init)
         return out, (True,) * 5
 
     return run
@@ -1140,7 +1306,8 @@ def bp_bethe_pairs(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
     F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
                                         _stacked_default(), _rb_default(),
-                                        _prodlog_default())(
+                                        _prodlog_default(),
+                                        _lockstep_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return F, nb, eb
 
@@ -1152,7 +1319,8 @@ def _bp_pairs_fwd(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
                                   jnp.zeros((NROT, LANE, LANE), jnp.float32))
     F, G1, dE, nb, eb = _pairs_dispatch(static, interpret, bf16, warm,
                                         _stacked_default(), _rb_default(),
-                                        _prodlog_default())(
+                                        _prodlog_default(),
+                                        _lockstep_default())(
         E1, E_pair, S6, S6T, valid, nb0, eb0)
     return (F, nb, eb), (G1, dE, jnp.zeros((0,), E1.dtype),
                          jnp.zeros((0,), E_pair.dtype))
