@@ -89,7 +89,12 @@ def test_fused_matches_separate(rng):
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(c2f), np.asarray(c2r),
                                rtol=2e-4, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+    # the grid comes back at its padded 128-aligned kernel layout with
+    # exact zeros beyond the real beads (the BP kernel consumes it as-is)
+    gf = np.asarray(gf)
+    n2 = np.asarray(gr).shape[0]
+    assert np.all(gf[n2:] == 0.0) and np.all(gf[:, n2:] == 0.0)
+    np.testing.assert_allclose(gf[:n2, :n2], np.asarray(gr),
                                rtol=2e-4, atol=2e-6)
 
 
@@ -229,7 +234,10 @@ def test_fused_env_matches_xla(rng):
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(c2f), np.asarray(c2r),
                                rtol=2e-4, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+    gf = np.asarray(gf)
+    n2 = np.asarray(gr).shape[0]
+    assert np.all(gf[n2:] == 0.0) and np.all(gf[:, n2:] == 0.0)
+    np.testing.assert_allclose(gf[:n2, :n2], np.asarray(gr),
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(envf), np.asarray(envr),
                                rtol=1e-5, atol=1e-7)

@@ -1384,7 +1384,13 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
     cs = jnp.sum(cs_part, axis=0)                        # (R, 8, n2p)
     cov1 = cs[:n_rep, 0, :n2].astype(xb.dtype)
     cov2 = cs[:n_rep, 1, :n2].astype(xb.dtype)
-    outs = (cov1, cov2, grid[:n_rep, :n2, :n2].astype(xb.dtype))
+    # the pair grid is returned at its PADDED (n2p, n2p) kernel layout
+    # (zeros beyond n2 — masked tiles write 0): the BP mega-kernel pads
+    # its E_pair operand to the same 128-aligned shape, so handing the
+    # padded band over directly elides two 37 MB layout copies per eval
+    # (slice+re-pad forward, pad-scatter backward) on the 64-replica
+    # bench graph
+    outs = (cov1, cov2, grid[:n_rep].astype(xb.dtype))
     if ITE >= 0:
         n_e = env[4].shape[1]
         envsum = cs[:n_rep, 2, :].reshape(
@@ -1418,8 +1424,12 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
     gcs = jnp.stack([g1.astype(jnp.float32), g2.astype(jnp.float32)],
                     axis=1)                              # (n_rep, 2, n2)
     gcs = jnp.pad(gcs, ((0, R - n_rep), (0, 6), (0, n2p - n2)))
+    # gg arrives at the padded (n2p, n2p) grid layout when it is the
+    # VJP cotangent of the padded forward output (pad widths 0 below);
+    # unfused callers may still hand (n2, n2)
     ggrid = jnp.pad(gg.astype(jnp.float32),
-                    ((0, R - n_rep), (0, n2p - n2), (0, n2p - n2)))
+                    ((0, R - n_rep), (0, n2p - gg.shape[1]),
+                     (0, n2p - gg.shape[2])))
 
     n_it = N1P // TILE
     n_j = n2p // TILE
@@ -1607,7 +1617,10 @@ def _fused_bwd_rule(fams, interpret, res, cots):
     d_tab1 = _table_cotangent(fam_cov, tab1, t1a, t2a, x1a, xb, ma, gm1)
     gm2 = w1b[:, None] * g2[None, :]
     d_tab2 = _table_cotangent(fam_cov, tab2, t1b, t2b, x1b, xb, mb, gm2)
-    d_tab3 = _table_cotangent(fam_pair, tab3, t1c, t2c, xb, xb, mc, gg)
+    # gg is the padded-grid cotangent; the XLA table-cotangent
+    # formulation works in unpadded bead space
+    d_tab3 = _table_cotangent(fam_pair, tab3, t1c, t2c, xb, xb, mc,
+                              gg[..., :xb.shape[-2], :xb.shape[-2]])
     return (d_tab1, d_tab2, d_tab3, None, None, None, None, None, None,
             None, None, None, d_x1a, d_w1a, d_x1b, d_w1b, d_xb)
 
@@ -1764,7 +1777,10 @@ def _fused_env_bwd_rule(fams, interpret, res, cots):
     d_tab1 = _table_cotangent(fam_cov, tab1, t1a, t2a, x1a, xb, ma, gm1)
     gm2 = w1b[:, None] * g2[None, :]
     d_tab2 = _table_cotangent(fam_cov, tab2, t1b, t2b, x1b, xb, mb, gm2)
-    d_tab3 = _table_cotangent(fam_pair, tab3, t1c, t2c, xb, xb, mc, gg)
+    # gg is the padded-grid cotangent; the XLA table-cotangent
+    # formulation works in unpadded bead space
+    d_tab3 = _table_cotangent(fam_pair, tab3, t1c, t2c, xb, xb, mc,
+                              gg[..., :xb.shape[-2], :xb.shape[-2]])
     d_tab4 = jax.grad(lambda t: jnp.sum(genv * _env_xla_rowsums(
         t, t1e, t2e, me, x1e[:, :6].astype(jnp.float32),
         wcol.astype(jnp.float32),
