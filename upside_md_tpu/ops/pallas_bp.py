@@ -1218,11 +1218,12 @@ def _rb_default():
     """Replicas per grid step for the replica-blocked kernel
     (UPSIDE_BP_RB).  1 = one replica per grid step (the round-3 kernels).
     Values > 1 batch the four exact scatter dots across the block in
-    single wide MXU issues while keeping per-replica solve loops; wins
-    iff the kernel is issue-bound on those dots (A/B in
-    tools/tpu_session4c.sh decides the default — measured LOSS at every
-    block size, bench_logs/r4c_0819_1023, so the default stays 1)."""
-    return int(os.environ.get("UPSIDE_BP_RB", "1"))
+    single wide MXU issues.  With per-replica solve loops this measured a
+    LOSS at every block size (bench_logs/r4c_0819_1023); combined with
+    the LOCKSTEP solve, RB=2 is the measured end-to-end winner
+    (bench_logs/r4h: 11,364 vs 11,028 steps/s at 256 reps), so the
+    defaults are RB=2 + LOCKSTEP=1; RB=1 restores the round-3 kernel."""
+    return int(os.environ.get("UPSIDE_BP_RB", "2"))
 
 
 def _prodlog_default():
@@ -1241,8 +1242,10 @@ def _lockstep_default():
     in ONE 4D while_loop (requires UPSIDE_BP_RB > 1; see _lockstep_solve).
     The per-replica solve is issue-bound at (768, 128) shapes, so lockstep
     widens every per-sweep op RB× at the cost of running each block to its
-    max sweep count."""
-    return int(os.environ.get("UPSIDE_BP_LOCKSTEP", "0"))
+    max sweep count.  Default ON with RB=2 — the measured end-to-end
+    winner (bench_logs/r4h, +3.0% over the padded-grid-only state; RB=8
+    exceeds VMEM, RB=4 ties on fwd+VJP)."""
+    return int(os.environ.get("UPSIDE_BP_LOCKSTEP", "1"))
 
 
 @functools.lru_cache(maxsize=None)
