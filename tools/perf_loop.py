@@ -233,7 +233,13 @@ def main():
     # wrt the upstream outputs.  full - upstream - down = residual
     # glue/HBM-traffic between the blocks.  --bp-jolt applies here too so
     # the BP solve runs an MD-like sweep count.
-    if "down" in only:
+    #
+    # "memb" is the same block with the fused Pallas call STUBBED by its
+    # (stop-gradient) cached outputs: member-node XLA glue + BP only —
+    # memb minus the bp piece isolates the member glue (E1 assembly,
+    # coverage/env node post-processing, and the gather/scatter chains
+    # around the kernel inputs).
+    if {"down", "memb"} & only:
         jolt_d = [float(a.split("=", 1)[1]) for a in sys.argv
                   if a.startswith("--bp-jolt=")]
         jolt_d = jolt_d[0] if jolt_d else 1e-6
@@ -293,8 +299,51 @@ def main():
                 lambda x, gg: x + 0.0 * gg, o, g),
                 jax.tree_util.tree_map(jax.lax.stop_gradient, cache))
 
-        loop_time(body_down, (outs0, cache_w), n_iters,
-                  "downstream block (fused+members+BP) e+g")
+        if "down" in only:
+            loop_time(body_down, (outs0, cache_w), n_iters,
+                      "downstream block (fused+members+BP) e+g")
+
+        if "memb" in only:
+            fused0 = jax.jit(jax.vmap(
+                lambda o: plan.compute(params, o)))(outs0)
+            fused0 = jax.tree_util.tree_map(jax.lax.stop_gradient, fused0)
+
+            def memb_energy(o, fused, cache):
+                outputs = dict(o)
+                extra = {"_cache": cache, "_cache_out": {},
+                         "_fused": fused}
+                tot = 0.0
+                for s in system.specs:
+                    if s.name not in plan.member_names:
+                        continue
+                    inputs = [outputs[a] for a in s.args]
+                    extra["_node_name"] = s.name
+                    out = s.node_type.compute(s.consts,
+                                              params.get(s.name, {}),
+                                              inputs, extra)
+                    if s.node_type.is_potential:
+                        tot = tot + jnp.sum(out)
+                    else:
+                        outputs[s.name] = out
+                return tot, extra["_cache_out"]
+
+            _, mcache_w = jax.jit(jax.vmap(
+                lambda o, f: memb_energy(o, f, cache0)))(outs0, fused0)
+            memb_vg = jax.vmap(jax.value_and_grad(memb_energy,
+                                                  has_aux=True))
+
+            def body_memb(i, carry):
+                o, cache = carry
+                o2 = jax.tree_util.tree_map(
+                    lambda x: x * (1.0 + jolt_d * jnp.sin(
+                        i.astype(jnp.float32))), o)
+                (_, cache), g = memb_vg(o2, fused0, cache)
+                return (jax.tree_util.tree_map(
+                    lambda x, gg: x + 0.0 * gg, o, g),
+                    jax.tree_util.tree_map(jax.lax.stop_gradient, cache))
+
+            loop_time(body_memb, (outs0, mcache_w), n_iters,
+                      "member nodes only (fused stubbed) e+g")
 
     # ---- 3. BP mega-kernel (warm start, like MD) -----------------------
     if "bp" not in only and not ({"full", "glue"} & only):
