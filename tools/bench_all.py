@@ -241,7 +241,9 @@ def main():
         lambda: md_steps_per_sec(sysg, pg, posg, 64))
 
     sysu, pu, posu, _ = build_full_system(seq=UBIQUITIN)
-    for n in (8, 32, 64, 128, 256, 384, 512):
+    # extended after r4j: the curve now rises through 512 (11,491) —
+    # find the true per-chip maximum
+    for n in (8, 32, 64, 128, 256, 384, 512, 768, 1024):
         row(f"full FF 76-res ubiquitin, {n} rep",
             lambda n=n: md_steps_per_sec(sysu, pu, posu, n))
 
