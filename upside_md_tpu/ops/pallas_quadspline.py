@@ -47,7 +47,10 @@ TILE = 128
 # replicas per grid step (VMEM-bounded; the backward kernel keeps more
 # live tensors).  Env-overridable for benchmarking experiments.
 RB_FWD = int(os.environ.get("UPSIDE_RB_FWD", "8"))
-RB_BWD = int(os.environ.get("UPSIDE_RB_BWD", "4"))
+# 4 was the round-3 winner at 64 replicas; at the 256-replica operating
+# point 8 measures slightly better end-to-end (bench_logs/r4k: full
+# advance 23.006 vs 23.256 ms/eval, bench 11,419 vs 11,369 steps/s)
+RB_BWD = int(os.environ.get("UPSIDE_RB_BWD", "8"))
 
 
 def _round_up(x, m):
