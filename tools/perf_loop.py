@@ -299,9 +299,26 @@ def main():
                 lambda x, gg: x + 0.0 * gg, o, g),
                 jax.tree_util.tree_map(jax.lax.stop_gradient, cache))
 
+        rot_name = plan.rot.name
+
+        def report_sweeps(body, carry, tag):
+            """Mean BP sweeps inside a piece loop (diagnostics col 7 of
+            the threaded cache) — detects when the node's warm-start
+            extrapolation mispredicts the synthetic jolt and the piece
+            runs more sweeps than MD would."""
+            @jax.jit
+            def final_cache(carry):
+                return jax.lax.fori_loop(0, n_iters, body, carry)[1]
+            nbf = final_cache(carry)[rot_name][0]
+            if nbf.shape[-1] < 8:   # XLA BP path: no diagnostics columns
+                return
+            print(f"{'':4s}{tag}: mean sweeps "
+                  f"{float(jnp.mean(nbf[:, 0, 7])):.2f}")
+
         if "down" in only:
             loop_time(body_down, (outs0, cache_w), n_iters,
                       "downstream block (fused+members+BP) e+g")
+            report_sweeps(body_down, (outs0, cache_w), "down")
 
         if "memb" in only:
             fused0 = jax.jit(jax.vmap(
@@ -344,6 +361,7 @@ def main():
 
             loop_time(body_memb, (outs0, mcache_w), n_iters,
                       "member nodes only (fused stubbed) e+g")
+            report_sweeps(body_memb, (outs0, mcache_w), "memb")
 
     # ---- 3. BP mega-kernel (warm start, like MD) -----------------------
     if "bp" not in only and not ({"full", "glue"} & only):
