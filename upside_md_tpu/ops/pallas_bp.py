@@ -1190,6 +1190,16 @@ def _bp_pairs_impl(R, damping, max_iter, tol, chunk, interpret, bf16,
             jax.ShapeDtypeStruct((n_rep, NROT, LANE, LANE), f32),
         ),
         scratch_shapes=scratch_shapes,
+        # Same-shaped donated inputs alias their outputs (E_pair -> dE,
+        # and the warm-start messages nb0 -> nb, eb0 -> eb): every kernel
+        # variant fully reads these refs before the first write (E_pair
+        # in scatter phase 1, the warm start at solve init), and the
+        # in/out block index maps are identical, so pipelined prefetch
+        # regions stay disjoint.  This shares their VMEM windows and HBM
+        # buffers — the ~8 MB it frees at RB=8 is what un-OOMs the
+        # lockstep RB=8 configuration (r4h measured 164 KB over budget).
+        input_output_aliases=(
+            {1: 2, 7: 3, 8: 4} if warm else {1: 2}),
         # the f32 (precision=HIGHEST) scatter needs more scratch than the
         # 16M default scoped-vmem budget; the per-replica problem is ~8M
         # (replica-blocked: ~60M at RB=4) so a raised ceiling is safe on
