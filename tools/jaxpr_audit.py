@@ -95,7 +95,7 @@ def build_down(n_rep):
     return down_vg, outs0, cache_w
 
 
-def audit(jaxpr, n_rep, min_mb=1.0):
+def audit(jaxpr, n_rep, min_mb=0.2):
     """Walk a closed jaxpr (recursing into sub-jaxprs) and report pallas
     calls and large intermediates."""
     pallas = []
@@ -150,7 +150,7 @@ def main():
         more = f" +{len(outs)-4} more" if len(outs) > 4 else ""
         print(f"  {name:42s} grid={grid} outs=[{outs_s}{more}]")
 
-    print(f"\n== non-pallas intermediates >= 1 MB/replica ==")
+    print(f"\n== non-pallas intermediates >= 0.2 MB/replica ==")
     for (prim, sh), cnt in sorted(big.items(),
                                   key=lambda kv: -np.prod(kv[0][1])):
         mb = np.prod(sh) * 4 / 1e6

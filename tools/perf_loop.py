@@ -364,7 +364,8 @@ def main():
             report_sweeps(body_memb, (outs0, mcache_w), "memb")
 
     # ---- 3. BP mega-kernel (warm start, like MD) -----------------------
-    if "bp" not in only and not ({"full", "glue"} & only):
+    if "bp" not in only and not ({"full", "glue", "nobp",
+                                  "nofused"} & only):
         return
     if "bp" in only:
         from upside_md_tpu.nodes.rotamer import (assemble_one_body,
@@ -499,7 +500,7 @@ def main():
                       "BP mega-kernel warm fwd+VJP")
 
     # ---- 4. full force evaluation (context) ----------------------------
-    if not ({"full", "glue"} & only):
+    if not ({"full", "glue", "nobp", "nofused"} & only):
         return
     from upside_md_tpu.md.sim import Simulation
     sim = Simulation(system, dt=0.009, thermostat_interval=0.135,
@@ -520,8 +521,19 @@ def main():
         print(f"{label:48s} {t / (3 * n_rounds) * 1e3:9.3f} ms/eval"
               f"   ({t*1e3:8.1f} ms / {3*n_rounds})")
 
+    def report_advance_sweeps(the_sim, tag):
+        """Mean BP sweeps over one advance round (diagnostics col 7)."""
+        st = the_sim.advance(state0, params, 1, True)
+        entry = st.cache.get(plan.rot.name)
+        nbf = entry[0] if isinstance(entry, tuple) and len(entry) else None
+        if nbf is not None and getattr(nbf, "ndim", 0) == 3 \
+                and nbf.shape[-1] >= 8:
+            print(f"{'':4s}{tag}: mean sweeps "
+                  f"{float(jnp.mean(nbf[:, 0, 7])):.2f}")
+
     if "full" in only:
         time_advance("full advance (context)", sim)
+        report_advance_sweeps(sim, "full")
 
     # ---- 5. MD glue (advance with a trivial force) ----------------------
     # Times everything advance does AROUND the forcefield — integrator
@@ -543,6 +555,64 @@ def main():
                               thermostat_interval=0.135,
                               do_recenter=False)
         time_advance("glue advance (trivial force)", glue_sim)
+
+    # ---- 6. subtractive in-context marginals ----------------------------
+    # full − nobp    = the BP mega-kernel's true in-context marginal;
+    # full − nofused = the fused pair block's (fwd + bwd + its operand
+    # staging).  The isolated pieces (fused/bp/memb) time kernels in a
+    # synthetic loop OUTSIDE the real MD program; r4n measured their sum
+    # ~1.2 ms/eval (64 reps) short of the real advance while the jaxpr
+    # audit (tools/jaxpr_audit.py) found no structural fat.  These stubs
+    # remove ONE component from the REAL advance, so the delta vs
+    # --only=full includes every staging/scheduling cost isolation cannot
+    # see.  Stubs perturb the BP sweep count (printed); correct deltas
+    # with the measured ~0.085 ms/sweep (64 reps).
+    if "nobp" in only:
+        from upside_md_tpu.ops import pallas_bp as _pbp
+        if jax.default_backend() != "tpu":
+            # CPU smoke hook: take the Pallas-BP branch (the kernel
+            # itself is stubbed, so no real pallas_call runs for BP)
+            import upside_md_tpu.nodes.rotamer as _rot
+            _rot._use_pallas_bp = lambda n_res: n_res <= 128
+        real_bp = _pbp.bp_bethe_pairs
+
+        def stub_bp(static, interpret, bf16, E1, E_pair, S6, S6T, valid,
+                    init):
+            # data-dependent F keeps the E_pair cotangent (and the fused
+            # backward it feeds) alive and non-hoistable
+            nb0, eb0 = init
+            F = 1e-12 * (jnp.sum(E_pair * E_pair) + jnp.sum(E1 * E1))
+            return F, nb0, eb0
+
+        _pbp.bp_bethe_pairs = stub_bp
+        try:
+            nobp_sim = Simulation(system, dt=0.009,
+                                  thermostat_interval=0.135,
+                                  do_recenter=False)
+            time_advance("full advance, BP kernel stubbed", nobp_sim)
+        finally:
+            _pbp.bp_bethe_pairs = real_bp
+
+    if "nofused" in only:
+        import copy
+
+        # one replica's real fused outputs, frozen as loop constants: BP
+        # solves the true pair problem while the fused kernels (and their
+        # operand staging) vanish from the program
+        o0 = jax.jit(jax.vmap(upstream))(posb)
+        fused_all = jax.jit(jax.vmap(lambda o: plan.compute(params, o)))(o0)
+        fused_c = jax.tree_util.tree_map(
+            lambda x: jax.lax.stop_gradient(x[0]), fused_all)
+
+        stub_plan = copy.copy(plan)
+        stub_plan.compute = lambda params_, outputs_: dict(fused_c)
+        nofused_system = copy.copy(system)
+        nofused_system.pair_fusion = stub_plan
+        nofused_sim = Simulation(nofused_system, dt=0.009,
+                                 thermostat_interval=0.135,
+                                 do_recenter=False)
+        time_advance("full advance, fused block stubbed", nofused_sim)
+        report_advance_sweeps(nofused_sim, "nofused")
 
 
 if __name__ == "__main__":
