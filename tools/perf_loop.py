@@ -226,6 +226,57 @@ def main():
         loop_time(body_fused_fwd, outs0, n_iters, "fused pair block fwd")
         loop_time(body_fused_fb, outs0, n_iters, "fused pair block fwd+bwd")
 
+        # --fused-sq: squared loss makes every output cotangent
+        # data-dependent, so the bwd-side cotangent staging (gg pad,
+        # gcs stuffing) cannot be hoisted out of the loop as constants —
+        # the delta vs the plain fwd+bwd loop isolates that staging.
+        if "--fused-sq" in sys.argv:
+            def fused_loss_sq(o):
+                r = plan.compute(params, o)
+                return sum(jnp.sum(v * v) for v in r.values())
+
+            fused_vg_sq = jax.vmap(jax.value_and_grad(fused_loss_sq))
+
+            def body_fused_sq(i, o):
+                _, g = fused_vg_sq(o)
+                return jax.tree_util.tree_map(
+                    lambda x, gg: x + 1e-9 * gg, o, g)
+
+            loop_time(body_fused_sq, outs0, n_iters,
+                      "fused fwd+bwd, squared loss (live cotangents)")
+
+        # --fused-jolt-tab: perturb the parameter TABLES per iteration so
+        # the parameter-only operand staging (_fused_prep's table-slab
+        # einsums, hi/lo split, one-hots, env planes) cannot be hoisted
+        # either — if the advance's nested scan/cond structure defeats
+        # XLA's loop-invariant code motion, THIS number should match the
+        # in-context marginal (r4p: ~3.9 ms/eval) while the plain loop
+        # stays at ~3.1.
+        if "--fused-jolt-tab" in sys.argv:
+            tab_names = {plan.cov1.name, plan.cov2.name, plan.rot.name}
+
+            def joltp(i):
+                s = 1.0 + 1e-12 * jnp.sin(i.astype(jnp.float32))
+                return {k: ({**v, "interaction_param":
+                             v["interaction_param"] * s}
+                            if k in tab_names and "interaction_param" in v
+                            else v)
+                        for k, v in params.items()}
+
+            def body_fused_tab(i, o):
+                pj = joltp(i)
+
+                def loss(oo):
+                    r = plan.compute(pj, oo)
+                    return sum(jnp.sum(v * v) for v in r.values())
+
+                _, g = jax.vmap(jax.value_and_grad(loss))(o)
+                return jax.tree_util.tree_map(
+                    lambda x, gg: x + 1e-9 * gg, o, g)
+
+            loop_time(body_fused_tab, outs0, n_iters,
+                      "fused fwd+bwd, tables jolted (live staging)")
+
     # ---- 2b. full downstream block (fused kernel + member nodes) --------
     # Everything below the upstream cut: the fused Pallas call PLUS the
     # member nodes that consume it (coverage energies, env, and the
