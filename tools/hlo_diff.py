@@ -39,31 +39,55 @@ def shape_bytes(text):
     return total
 
 
-def report(hlo, label, min_mb=4.0):
-    print(f"\n== {label}: optimized-HLO instructions with output >= "
-          f"{min_mb} MB (inside while bodies) ==")
-    counts = collections.Counter()
-    rows = []
+OP_RE = re.compile(r"%?[\w.\-]+ = \(?(\S+?)[,)]?\s.*?([a-z][a-z\-]+)\(")
+
+
+def collect(hlo, min_mb=0.5):
+    """(op, shape) -> (count, bytes) for in-while-body instructions."""
+    counts = {}
     for line in hlo.splitlines():
         ls = line.strip()
-        m = re.match(r"%?[\w.\-]+ = (\S+) ([a-z\-]+)\(", ls)
+        if "while" not in ls:
+            continue
+        m = re.match(r"%?[\w.\-]+ = (\(?)((f32|bf16|f16|s32|u32|u8|s8|"
+                     r"pred)\[[0-9,]*\])", ls)
         if not m:
             continue
-        op = m.group(2)
-        if op in ("parameter", "constant", "tuple", "get-tuple-element",
-                  "bitcast"):
+        om = re.search(r"\)?\s([a-z][a-z\-]*)\(", ls)
+        if not om:
             continue
-        b = shape_bytes(ls)
-        if b >= min_mb * 1e6:
-            key = (op, ls.split(" = ")[1].split("(")[0].split(" ")[0])
-            counts[key] += 1
-            if len(rows) < 60:
-                rows.append(f"  {b/1e6:8.1f} MB  {ls[:160]}")
-    for (op, shp), c in sorted(counts.items(), key=lambda kv: -kv[1]):
-        print(f"  {op:20s} {shp:40s} x{c}")
-    print("  -- samples --")
-    for r in rows[:40]:
-        print(r)
+        op = om.group(1)
+        if op in ("parameter", "constant", "tuple", "while"):
+            continue
+        b = shape_bytes(m.group(2))
+        if b < min_mb * 1e6:
+            continue
+        key = (op, m.group(2))
+        c, _ = counts.get(key, (0, 0))
+        counts[key] = (c + 1, b)
+    return counts
+
+
+def report_diff(plain, sq):
+    print("\n== in-loop instruction diff (squared − plain), >=0.5 MB ==")
+    keys = set(plain) | set(sq)
+    rows = []
+    for k in keys:
+        cp = plain.get(k, (0, 0))[0]
+        cs = sq.get(k, (0, 0))[0]
+        b = (plain.get(k) or sq.get(k))[1]
+        if cs != cp:
+            rows.append((abs(cs - cp) * b, k, cp, cs, b))
+    for w, (op, shp), cp, cs, b in sorted(rows, reverse=True)[:40]:
+        print(f"  {op:18s} {shp:30s} plain x{cp:<3d} sq x{cs:<3d} "
+              f"({b/1e6:6.1f} MB each, delta {w/1e6:8.1f} MB)")
+
+
+def report(hlo, label, min_mb=4.0):
+    print(f"\n== {label}: in-loop instructions >= {min_mb} MB ==")
+    for (op, shp), (c, b) in sorted(collect(hlo, min_mb).items(),
+                                    key=lambda kv: -kv[1][0] * kv[1][1]):
+        print(f"  {op:20s} {shp:32s} x{c}  ({c*b/1e6:8.1f} MB total)")
 
 
 def main():
@@ -112,6 +136,7 @@ def main():
             return jax.lax.fori_loop(0, n_iters, body, o)
         return run
 
+    packs = {}
     for sq, label in ((False, "plain (sum v)"), (True, "squared (sum v^2)")):
         if which != "both" and which != ("sq" if sq else "plain"):
             continue
@@ -120,6 +145,10 @@ def main():
         hlo = compiled.as_text()
         print(f"{label}: optimized HLO {len(hlo)/1e6:.1f} MB of text")
         report(hlo, label)
+        packs["sq" if sq else "plain"] = collect(hlo)
+
+    if len(packs) == 2:
+        report_diff(packs["plain"], packs["sq"])
 
 
 if __name__ == "__main__":
