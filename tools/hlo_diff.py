@@ -145,6 +145,14 @@ def main():
         hlo = compiled.as_text()
         print(f"{label}: optimized HLO {len(hlo)/1e6:.1f} MB of text")
         report(hlo, label)
+        print(f"\n== {label}: every custom-call ==")
+        for line in hlo.splitlines():
+            if "custom-call" in line:
+                ls = line.strip()
+                tgt = re.search(r'custom_call_target="([^"]+)"', ls)
+                shp = ls.split(" = ", 1)[1].split(" custom-call")[0] \
+                    if " = " in ls else "?"
+                print(f"  {tgt.group(1) if tgt else '?':30s} {shp[:90]}")
         packs["sq" if sq else "plain"] = collect(hlo)
 
     if len(packs) == 2:
