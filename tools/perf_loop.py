@@ -207,8 +207,15 @@ def main():
         outs0 = jax.jit(jax.vmap(upstream))(posb)
 
         def fused_loss(o):
+            # SQUARED sum: a linear loss's cotangents are constant ones,
+            # which lets JAX/XLA eliminate the forward kernel entirely
+            # when the loss VALUE is unused (hlo_diff.py, round 4: the
+            # plain-loss "fwd+bwd" loop contained ONLY the backward
+            # kernel, understating the block by the whole forward
+            # kernel).  v*v keeps the forward alive and its cotangents
+            # data-dependent, matching the in-context cost.
             r = plan.compute(params, o)
-            return sum(jnp.sum(v) for v in r.values())
+            return sum(jnp.sum(v * v) for v in r.values())
 
         fused_vg = jax.vmap(jax.value_and_grad(fused_loss))
         fused_f = jax.vmap(lambda o: plan.compute(params, o))
@@ -226,24 +233,25 @@ def main():
         loop_time(body_fused_fwd, outs0, n_iters, "fused pair block fwd")
         loop_time(body_fused_fb, outs0, n_iters, "fused pair block fwd+bwd")
 
-        # --fused-sq: squared loss makes every output cotangent
-        # data-dependent, so the bwd-side cotangent staging (gg pad,
-        # gcs stuffing) cannot be hoisted out of the loop as constants —
-        # the delta vs the plain fwd+bwd loop isolates that staging.
-        if "--fused-sq" in sys.argv:
-            def fused_loss_sq(o):
+        # --fused-plain: the round-2..4 historical loss (linear sum).
+        # KNOWN-BROKEN as a fwd+bwd measurement — constant cotangents +
+        # unused value let XLA delete the forward kernel, so this times
+        # the BACKWARD KERNEL ONLY (+staging).  Kept for comparing
+        # against historical logs.
+        if "--fused-plain" in sys.argv:
+            def fused_loss_plain(o):
                 r = plan.compute(params, o)
-                return sum(jnp.sum(v * v) for v in r.values())
+                return sum(jnp.sum(v) for v in r.values())
 
-            fused_vg_sq = jax.vmap(jax.value_and_grad(fused_loss_sq))
+            fused_vg_pl = jax.vmap(jax.value_and_grad(fused_loss_plain))
 
-            def body_fused_sq(i, o):
-                _, g = fused_vg_sq(o)
+            def body_fused_pl(i, o):
+                _, g = fused_vg_pl(o)
                 return jax.tree_util.tree_map(
                     lambda x, gg: x + 1e-9 * gg, o, g)
 
-            loop_time(body_fused_sq, outs0, n_iters,
-                      "fused fwd+bwd, squared loss (live cotangents)")
+            loop_time(body_fused_pl, outs0, n_iters,
+                      "fused bwd-only (historical linear loss)")
 
         # --fused-jolt-tab: perturb the parameter TABLES per iteration so
         # the parameter-only operand staging (_fused_prep's table-slab
