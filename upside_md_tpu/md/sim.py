@@ -175,7 +175,8 @@ class Simulation:
             jnp.sqrt(t0 * self.anneal_factor) * frac
         return s * s
 
-    def _one_round(self, state: SimState, params, nr) -> SimState:
+    def _one_round(self, state: SimState, params, nr,
+                   fused_prep=None) -> SimState:
         # `nr` (the round number) arrives as an UNBATCHED scalar from
         # `advance`, NOT from the vmapped state: the round counter is
         # global across replicas, and keeping the lax.cond predicates
@@ -191,6 +192,8 @@ class Simulation:
 
         def deriv(p, stage, cache):
             extra = {"n_deriv_evals": 3 * nr + stage + 1}
+            if fused_prep is not None:
+                extra["_fused_prep"] = fused_prep
             g, new_cache = jax.grad(
                 lambda q: self.system.energy_and_cache(
                     q, params, extra=extra, cache=cache),
@@ -238,7 +241,35 @@ class Simulation:
 
     # -- bulk advancement ---------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _fused_prepared(self, params, params_batched):
+        """Host-memoized parameter-only fused-kernel operands
+        (PairFusionPlan.prepare): the t2t poly slab + hi/lo split, type
+        one-hots, mask planes, and env parameter planes are built ONCE
+        per advance call and threaded through the jit boundary, instead
+        of being rebuilt — and never hoisted by XLA's loop-invariant
+        code motion — on every force evaluation inside the MD loop
+        (BENCH_NOTES round-4 optimized-HLO section).  Returns None when
+        unavailable: fusion off/absent, per-replica stacked params
+        (Hamiltonian mode), tracer params (advance nested under an
+        outer jit), or UPSIDE_FUSED_PREP=0."""
+        import os
+        plan = getattr(self.system, "pair_fusion", None)
+        if (plan is None or params_batched
+                or os.environ.get("UPSIDE_FUSED_PREP", "1") in ("0", "off")
+                or not plan.enabled() or plan.env is None):
+            return None
+        leaves = jax.tree_util.tree_leaves(params)
+        if any(isinstance(x, jax.core.Tracer) for x in leaves):
+            return None
+        key = tuple(id(x) for x in leaves)
+        memo = getattr(self, "_prep_memo", None)
+        if memo is not None and memo[0] == key:
+            return memo[2]
+        prep = plan.prepare(params)
+        # the leaves ref keeps the ids stable while the memo lives
+        self._prep_memo = (key, leaves, prep)
+        return prep
+
     def advance(self, state, params, n_rounds, batched=False,
                 params_batched=False):
         """Run n_rounds rounds on device.  batched=True vmaps over the
@@ -248,6 +279,14 @@ class Simulation:
         main.cpp:456-495): True for fully stacked params, or a
         stack_param_ensembles spec (frozenset of stacked leaf paths) so
         shared tables keep their batched kernel fast paths."""
+        return self._advance_impl(state, params, n_rounds, batched,
+                                  params_batched,
+                                  self._fused_prepared(params,
+                                                       params_batched))
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+    def _advance_impl(self, state, params, n_rounds, batched=False,
+                      params_batched=False, fused_prep=None):
         base = (state.round_num[0] if batched else state.round_num)
 
         def body(i, st):
@@ -259,8 +298,9 @@ class Simulation:
                     in_axes=(0, axes))(st, params)
             if batched:
                 return jax.vmap(
-                    lambda s: self._one_round(s, params, nr))(st)
-            return self._one_round(st, params, nr)
+                    lambda s: self._one_round(s, params, nr, fused_prep))(
+                    st)
+            return self._one_round(st, params, nr, fused_prep)
         return jax.lax.fori_loop(0, n_rounds, body, state)
 
     # -- observables --------------------------------------------------------

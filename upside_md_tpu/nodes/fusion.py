@@ -60,10 +60,9 @@ class PairFusionPlan:
             return True     # interpret-mode testing off-TPU
         return jax.default_backend() == 'tpu'
 
-    def compute(self, params, outputs) -> Dict[str, jnp.ndarray]:
-        """Run the fused kernel; returns {member results}."""
-        from ..ops.pallas_quadspline import fused_pair_block
-
+    def _static_inputs(self, params):
+        """Tables, spline families, and masks — everything position-
+        independent that the fused kernels consume."""
         cov1, cov2, rot = self.cov1, self.cov2, self.rot
         tab1 = jnp.asarray(params[cov1.name]["interaction_param"])
         tab2 = jnp.asarray(params[cov2.name]["interaction_param"])
@@ -72,6 +71,67 @@ class PairFusionPlan:
         fam_pair = quadspline_family(tab3.shape[-1])
         fams = ((fam_cov[0], fam_cov[1], 1.0 / fam_cov[2]),
                 (fam_pair[0], fam_pair[1], 1.0 / fam_pair[2]))
+        return fams, (tab1, tab2, tab3)
+
+    def prepare(self, params):
+        """Precompute the parameter-only kernel operands (the t2t poly
+        slab + hi/lo split, type one-hots, concatenated masks, env
+        sigmoid-parameter planes) ONCE, so Simulation.advance can thread
+        them through the jit boundary instead of rebuilding them on
+        every force evaluation — XLA's loop-invariant code motion never
+        hoists that ~150-200 MB/eval staging chain out of the MD loop
+        (BENCH_NOTES round-4 optimized-HLO section).  Returns the array
+        pack for compute(prepared=...), or None when this plan shape has
+        no prepared fast path (env band absent)."""
+        if self.env is None:
+            return None
+        fams, tabs = self._static_inputs(params)
+        cov1, cov2, rot, env = self.cov1, self.cov2, self.rot, self.env
+        tab4 = jnp.asarray(params[env.name]["interaction_param"])
+        t1s = (jnp.asarray(cov1.consts["type1"]),
+               jnp.asarray(cov2.consts["type1"]),
+               jnp.asarray(rot.consts["type"]))
+        t2s = (jnp.asarray(cov1.consts["type2"]),
+               jnp.asarray(cov2.consts["type2"]),
+               jnp.asarray(rot.consts["type"]))
+        masks, me, shapes = self._masks_and_shapes()
+        env_static = (tab4, jnp.asarray(env.consts["type1"]),
+                      jnp.asarray(env.consts["type2"]), me)
+        from ..ops.pallas_quadspline import _fused_prep_static
+        arrays, _ = _fused_prep_static(fams, tabs, t1s, t2s, masks,
+                                       shapes, env_static)
+        return arrays
+
+    def _masks_and_shapes(self):
+        cov1, cov2, rot, env = self.cov1, self.cov2, self.rot, self.env
+        ma = sequence_exclusion_mask(cov1.consts["id1"],
+                                     cov1.consts["id2"], 2)
+        mb = sequence_exclusion_mask(cov2.consts["id1"],
+                                     cov2.consts["id2"], 2)
+        res = rot.consts["res"]
+        n_bead = len(res)
+        tri = np.arange(n_bead)[:, None] < np.arange(n_bead)[None, :]
+        mc = jnp.asarray(tri & (np.asarray(res)[:, None]
+                                != np.asarray(res)[None, :]))
+        me = None
+        n_e = 0
+        if env is not None:
+            me = jnp.asarray(sequence_exclusion_mask(
+                env.consts["id1"], env.consts["id2"], 2))
+            n_e = len(np.asarray(env.consts["index1"]))
+        n_a = len(np.asarray(cov1.consts["index1"]))
+        n_b = len(np.asarray(cov2.consts["index1"]))
+        return (ma, mb, mc), me, (n_a, n_b, n_bead, n_e)
+
+    def compute(self, params, outputs,
+                prepared=None) -> Dict[str, jnp.ndarray]:
+        """Run the fused kernel; returns {member results}.  `prepared`
+        (from prepare()) selects the MD fast path with the parameter
+        staging precomputed."""
+        from ..ops.pallas_quadspline import fused_pair_block
+
+        cov1, cov2, rot = self.cov1, self.cov2, self.rot
+        fams, (tab1, tab2, tab3) = self._static_inputs(params)
 
         def cov_inputs(spec):
             hb = outputs[spec.args[0]][spec.consts["index1"]]
@@ -111,6 +171,20 @@ class PairFusionPlan:
         wcol = jnp.exp(-scalar_out[
             np.asarray(wp.consts["index_weight"])[
                 np.asarray(env.consts["index2"])], 0])
+        if prepared is not None:
+            from ..ops.pallas_quadspline import (_fused_meta,
+                                                 fused_pair_block_env_prep)
+            _, _, shapes = self._masks_and_shapes()
+            meta = _fused_meta(
+                fams, (tab1.shape[0], tab2.shape[0], tab3.shape[0]),
+                shapes, True)
+            c1, c2, grid, envsum = fused_pair_block_env_prep(
+                meta, interpret, *prepared, x1a, w1a, x1b, w1b, beads,
+                x1e, wcol)
+            return {cov1.name: c1[:, None], cov2.name: c2[:, None],
+                    rot.name + ":E_pair": grid,
+                    env.name: envsum[:, None]}
+
         me = sequence_exclusion_mask(env.consts["id1"],
                                      env.consts["id2"], 2)
         c1, c2, grid, envsum = fused_pair_block_env(

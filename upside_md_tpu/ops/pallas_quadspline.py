@@ -1213,72 +1213,70 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
         d2_ref[0] = jnp.concatenate(rows, axis=1)      # (1, RB, 8, TJ)
 
 
-def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks,
-                env=None):
-    """Pad, unify spline families, and build the concatenated operands.
-    x1a/x1b/xb carry a leading replica axis; w1a/w1b likewise.
+def _fused_meta(fams, a_shapes, shapes, has_env):
+    """Scalar-only half of the static prep: every plane size, tile
+    index, and cutoff the kernels need, derived purely from shapes —
+    hashable, so it can serve as a custom_vjp nondiff argument while the
+    prepared ARRAYS travel through the jit boundary as tracers.
 
-    env (optional): (tab4, t1e, t2e, maske, x1e, wcol) adds one
-    environment-coverage row tile between the coverage and pair bands:
-    x1e (n_rep, n_e<=128, 6) CB probes, wcol (n_rep, n2) per-column
-    Boltzmann weights (riding x2t row 6), tab4 (nt1, nt2, 4) the
-    (r0, r_sharp, dot0, dot_sharp) table whose per-pair planes are
-    precomputed here (position-independent one-hot lookups)."""
+    fams = ((ka, kc, inv_dx), (ka, kp, inv_dx)); a_shapes = (A1, A2, A3)
+    type counts of the three tables; shapes = (n_a, n_b, n2, n_e)."""
     (ka, kc, inv_dxc), (ka2, kp, inv_dxp) = fams
     assert ka == ka2 and abs(inv_dxc - inv_dxp) < 1e-12, \
         "fused families must share angular knots and knot spacing"
+    k = max(kc, kp)
+    A1, A2, A3 = a_shapes
+    A_tot = A1 + A2 + A3
+    Ap = _round_up(A_tot, 16)   # bf16 sublane tile: aligned slab slices
+    n_a, n_b, n2, n_e = shapes
+    N1 = n_a + n_b
+    N1C = _round_up(N1, TILE)
+    n2p = _round_up(n2, TILE)
+    if has_env:
+        assert n_e <= TILE, "fused env band supports <= 128 CB probes"
+        E_rows = TILE
+        ITE = N1C // TILE
+    else:
+        E_rows = 0
+        ITE = -1
+    IT0 = (N1C + E_rows) // TILE
+    N1P = N1C + E_rows + n2p
+    kcut_cov = kc - 2 - 1e-6
+    kcut_pair = kp - 2 - 1e-6
+    return ((ka, k, inv_dxc), Ap, IT0, kcut_cov, kcut_pair, N1P, n2p,
+            n2, ITE, n_a, n_b, n_e)
+
+
+def _fused_prep_static(fams, tabs, t1s, t2s, masks, shapes, env_static):
+    """Parameter-only half of _fused_prep: everything derivable from the
+    tables, type indices, and masks — no position data.  Returned as a
+    (pack, meta) pair so it can be computed ONCE per advance call and
+    passed through the jit boundary (the optimized HLO shows XLA's
+    loop-invariant code motion never hoists this chain out of the MD
+    loop: ~25 instructions x 5-10 MB per force evaluation,
+    BENCH_NOTES round-4 HLO section).
+
+    shapes = (n_a, n_b, n2, n_e); env_static = (tab4, t1e, t2e, maske)
+    or None.  meta is a tuple of plain numbers (hashable, usable as a
+    custom_vjp nondiff argument)."""
+    (ka, kc, inv_dxc), (ka2, kp, inv_dxp) = fams
     k = max(kc, kp)
     tab1, tab2, tab3 = [
         _pad_distance_knots(t, ka, kf, k)
         for t, kf in ((tabs[0], kc), (tabs[1], kc), (tabs[2], kp))]
     A1, A2, A3 = tab1.shape[0], tab2.shape[0], tab3.shape[0]
+    meta = _fused_meta(fams, (A1, A2, A3), shapes, env_static is not None)
+    (_, Ap, IT0, _, _, N1P, n2p, n2, ITE, n_a, n_b, n_e) = meta
     A_tot = A1 + A2 + A3
-    Ap = _round_up(A_tot, 16)   # bf16 sublane tile: aligned slab slices
-    n_rep = xb.shape[0]
-    n_a, n_b, n2 = x1a.shape[1], x1b.shape[1], xb.shape[1]
     N1 = n_a + n_b
     N1C = _round_up(N1, TILE)
-    n2p = _round_up(n2, TILE)
-    if env is not None:
-        tab4, t1e, t2e, maske, x1e, wcol = env
-        n_e = x1e.shape[1]
-        assert n_e <= TILE, "fused env band supports <= 128 CB probes"
-        E_rows = TILE
-        ITE = N1C // TILE
-    else:
-        n_e = 0
-        E_rows = 0
-        ITE = -1
-    IT0 = (N1C + E_rows) // TILE
-    N1P = N1C + E_rows + n2p
+    E_rows = TILE if ITE >= 0 else 0
+    bead0 = N1C + E_rows
+    if env_static is not None:
+        tab4, t1e, t2e, maske = env_static
 
-    def row8(x, w6, w7):
-        cols = [x[:, :, :6].astype(jnp.float32)]
-        cols.append((w6 if w6 is not None else
-                     jnp.zeros(x.shape[:2], jnp.float32))[:, :, None]
-                    .astype(jnp.float32))
-        cols.append((w7 if w7 is not None else
-                     jnp.zeros(x.shape[:2], jnp.float32))[:, :, None]
-                    .astype(jnp.float32))
-        return jnp.concatenate(cols, axis=2)
-
-    pad_mid = N1C - N1
-    parts = [
-        row8(x1a, w1a, None),
-        row8(x1b, None, w1b),
-        jnp.zeros((n_rep, pad_mid, 8), jnp.float32)]
-    if env is not None:
-        parts.append(row8(x1e, None, None))
-        parts.append(jnp.zeros((n_rep, E_rows - n_e, 8), jnp.float32))
-    parts.extend([
-        row8(xb, None, None),
-        jnp.zeros((n_rep, n2p - n2, 8), jnp.float32)])
-    x1cat = jnp.concatenate(parts, axis=1)
-    x2t = jnp.pad(jnp.swapaxes(xb[:, :, :6].astype(jnp.float32), 1, 2),
-                  ((0, 0), (0, 2), (0, n2p - n2)))
     ep = None
-    if env is not None:
-        x2t = x2t.at[:, 6, :n2].set(wcol.astype(jnp.float32))
+    if env_static is not None:
         HI = jax.lax.Precision.HIGHEST
         oh1e = jax.nn.one_hot(t1e, tab4.shape[0], dtype=jnp.float32)
         oh2e = jax.nn.one_hot(t2e, tab4.shape[1], dtype=jnp.float32)
@@ -1294,7 +1292,6 @@ def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks,
                                                dtype=jnp.float32))
     oh1 = oh1.at[n_a:N1, A1:A1 + A2].set(
         jax.nn.one_hot(t1s[1], A2, dtype=jnp.float32))
-    bead0 = N1C + E_rows
     oh1 = oh1.at[bead0:bead0 + n2, A1 + A2:A1 + A2 + A3].set(
         jax.nn.one_hot(t1s[2], A3, dtype=jnp.float32))
 
@@ -1307,7 +1304,6 @@ def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks,
         oh2 = jax.nn.one_hot(t2f, tab.shape[1], dtype=jnp.float32)
         tpoly = jnp.einsum('abm,mp->abp', tab, P, precision=HI)
         slabs.append(jnp.einsum('abp,jb->paj', tpoly, oh2, precision=HI))
-    Mp = P.shape[1]
     t2t = jnp.concatenate(slabs, axis=1)            # (Mp, A_tot, n2)
     t2t = jnp.pad(t2t, ((0, 0), (0, Ap - A_tot), (0, n2p - n2)))
     t2t = _hilo_split(t2t)                  # (Mp * 2Ap, n2p), [hi; lo] rows
@@ -1315,23 +1311,89 @@ def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks,
     maskcat = jnp.zeros((N1P, n2p), jnp.float32)
     maskcat = maskcat.at[:n_a, :n2].set(masks[0].astype(jnp.float32))
     maskcat = maskcat.at[n_a:N1, :n2].set(masks[1].astype(jnp.float32))
-    if env is not None:
+    if env_static is not None:
         maskcat = maskcat.at[N1C:N1C + n_e, :n2].set(
             maske.astype(jnp.float32))
     maskcat = maskcat.at[bead0:bead0 + n2, :n2].set(
         masks[2].astype(jnp.float32))
 
-    kcut_cov = kc - 2 - 1e-6
-    kcut_pair = kp - 2 - 1e-6
-    return (x1cat, x2t, oh1, t2t, maskcat, (ka, k, inv_dxc), Ap, IT0,
-            kcut_cov, kcut_pair, N1P, n2p, n2, ITE, ep)
+    return (oh1, t2t, maskcat, ep), meta
+
+
+def _fused_prep_dyn(meta, x1a, w1a, x1b, w1b, xb, x1e=None, wcol=None):
+    """Position-dependent half of _fused_prep (runs every evaluation)."""
+    (fam, Ap, IT0, kcc, kcp, N1P, n2p, n2, ITE, n_a, n_b, n_e) = meta
+    n_rep = xb.shape[0]
+    N1 = n_a + n_b
+    N1C = _round_up(N1, TILE)
+    E_rows = TILE if ITE >= 0 else 0
+    pad_mid = N1C - N1
+
+    def row8(x, w6, w7):
+        cols = [x[:, :, :6].astype(jnp.float32)]
+        cols.append((w6 if w6 is not None else
+                     jnp.zeros(x.shape[:2], jnp.float32))[:, :, None]
+                    .astype(jnp.float32))
+        cols.append((w7 if w7 is not None else
+                     jnp.zeros(x.shape[:2], jnp.float32))[:, :, None]
+                    .astype(jnp.float32))
+        return jnp.concatenate(cols, axis=2)
+
+    parts = [
+        row8(x1a, w1a, None),
+        row8(x1b, None, w1b),
+        jnp.zeros((n_rep, pad_mid, 8), jnp.float32)]
+    if ITE >= 0:
+        parts.append(row8(x1e, None, None))
+        parts.append(jnp.zeros((n_rep, E_rows - n_e, 8), jnp.float32))
+    parts.extend([
+        row8(xb, None, None),
+        jnp.zeros((n_rep, n2p - n2, 8), jnp.float32)])
+    x1cat = jnp.concatenate(parts, axis=1)
+    x2t = jnp.pad(jnp.swapaxes(xb[:, :, :6].astype(jnp.float32), 1, 2),
+                  ((0, 0), (0, 2), (0, n2p - n2)))
+    if ITE >= 0:
+        x2t = x2t.at[:, 6, :n2].set(wcol.astype(jnp.float32))
+    return x1cat, x2t
+
+
+def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks,
+                env=None, prep=None):
+    """Pad, unify spline families, and build the concatenated operands.
+    x1a/x1b/xb carry a leading replica axis; w1a/w1b likewise.
+
+    env (optional): (tab4, t1e, t2e, maske, x1e, wcol) adds one
+    environment-coverage row tile between the coverage and pair bands:
+    x1e (n_rep, n_e<=128, 6) CB probes, wcol (n_rep, n2) per-column
+    Boltzmann weights (riding x2t row 6), tab4 (nt1, nt2, 4) the
+    (r0, r_sharp, dot0, dot_sharp) table whose per-pair planes are
+    precomputed here (position-independent one-hot lookups).
+
+    prep (optional): a ((oh1, t2t, maskcat, ep), meta) pair from
+    _fused_prep_static, computed ONCE per advance call — skips the
+    parameter-only staging entirely (see _fused_prep_static)."""
+    if env is not None:
+        tab4, t1e, t2e, maske, x1e, wcol = env
+        env_static = (tab4, t1e, t2e, maske)
+        n_e = x1e.shape[1]
+    else:
+        env_static, x1e, wcol, n_e = None, None, None, 0
+    if prep is None:
+        shapes = (x1a.shape[1], x1b.shape[1], xb.shape[1], n_e)
+        prep = _fused_prep_static(fams, tabs, t1s, t2s, masks, shapes,
+                                  env_static)
+    (oh1, t2t, maskcat, ep), meta = prep
+    x1cat, x2t = _fused_prep_dyn(meta, x1a, w1a, x1b, w1b, xb, x1e, wcol)
+    (fam, Ap, IT0, kcc, kcp, N1P, n2p, n2, ITE, _, _, _) = meta
+    return (x1cat, x2t, oh1, t2t, maskcat, fam, Ap, IT0,
+            kcc, kcp, N1P, n2p, n2, ITE, ep)
 
 
 def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
-                       x1a, w1a, x1b, w1b, xb, env=None):
+                       x1a, w1a, x1b, w1b, xb, env=None, prep=None):
     (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
      n2, ITE, ep) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b,
-                                xb, masks, env)
+                                xb, masks, env, prep)
     ka, k, inv_dx = fam
     n_rep = xb.shape[0]
     Mp = t2t.shape[0] // (2 * A_tot)
@@ -1404,10 +1466,10 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
 
 def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
                        x1a, w1a, x1b, w1b, xb, g1, g2, gg, env=None,
-                       genv=None):
+                       genv=None, prep=None):
     (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
      n2, ITE, ep) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b,
-                                xb, masks, env)
+                                xb, masks, env, prep)
     ka, k, inv_dx = fam
     n_rep = xb.shape[0]
     n_a, n_b = x1a.shape[1], x1b.shape[1]
@@ -1795,3 +1857,129 @@ def _fused_env_bwd_rule(fams, interpret, res, cots):
 
 
 fused_pair_block_env.defvjp(_fused_env_fwd_rule, _fused_env_bwd_rule)
+
+
+# --- prepared-operand entry point (MD fast path) -----------------------------
+# Same kernels as fused_pair_block_env, but the parameter-only operand
+# staging (oh1 / t2t / maskcat / ep) arrives PRECOMPUTED — built once per
+# Simulation.advance call by PairFusionPlan.prepare and threaded through
+# the jit boundary — instead of being rebuilt (and never hoisted, see
+# BENCH_NOTES round-4 optimized-HLO section) inside the MD loop on every
+# force evaluation.  Table cotangents are NOT computed on this path:
+# parameter training uses the unprepared entry (fusion.compute only
+# selects this path when the caller supplies a prepared pack, which only
+# Simulation.advance does, and advance is never differentiated w.r.t.
+# params).
+
+@functools.lru_cache(maxsize=None)
+def _fused_prep_fwd_dispatch(meta, interpret):
+    @jax.custom_batching.custom_vmap
+    def fwd(oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        outs = _fused_fwd_batched(
+            None, interpret, RB_FWD, None, None, None, None,
+            x1a[None], w1a[None], x1b[None], w1b[None], xb[None],
+            env=_env_pack(None, None, None, None, x1e[None], wcol[None]),
+            prep=((oh1, t2t, maskcat, ep), meta))
+        return tuple(o[0] for o in outs)
+
+    @fwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:4]
+        dyn = list(args[4:])
+        if any(in_batched[:4]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: fwd(*aa), tuple(bs))
+            return out, (True, True, True, True)
+        for n, b in enumerate(in_batched[4:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        oh1, t2t, maskcat, ep = statics
+        x1a, w1a, x1b, w1b, xb, x1e, wcol = dyn
+        out = _fused_fwd_batched(
+            None, interpret, RB_FWD, None, None, None, None,
+            x1a, w1a, x1b, w1b, xb,
+            env=_env_pack(None, None, None, None, x1e, wcol),
+            prep=((oh1, t2t, maskcat, ep), meta))
+        return out, (True, True, True, True)
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_prep_bwd_dispatch(meta, interpret):
+    @jax.custom_batching.custom_vmap
+    def bwd(oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv):
+        outs = _fused_bwd_batched(
+            None, interpret, RB_BWD, None, None, None, None,
+            x1a[None], w1a[None], x1b[None], w1b[None], xb[None],
+            g1[None], g2[None], gg[None],
+            env=_env_pack(None, None, None, None, x1e[None], wcol[None]),
+            genv=genv[None], prep=((oh1, t2t, maskcat, ep), meta))
+        return tuple(o[0] for o in outs)
+
+    @bwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:4]
+        dyn = list(args[4:])
+        if any(in_batched[:4]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: bwd(*aa), tuple(bs))
+            return out, (True,) * 5
+        for n, b in enumerate(in_batched[4:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        oh1, t2t, maskcat, ep = statics
+        x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg, genv = dyn
+        out = _fused_bwd_batched(
+            None, interpret, RB_BWD, None, None, None, None,
+            x1a, w1a, x1b, w1b, xb, g1, g2, gg,
+            env=_env_pack(None, None, None, None, x1e, wcol),
+            genv=genv, prep=((oh1, t2t, maskcat, ep), meta))
+        return out, (True,) * 5
+
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_pair_block_env_prep(meta, interpret, oh1, t2t, maskcat, ep,
+                              x1a, w1a, x1b, w1b, xb, x1e, wcol):
+    """fused_pair_block_env with prepared parameter-only operands.
+
+    meta is the hashable scalar pack from _fused_meta; (oh1, t2t,
+    maskcat, ep) the arrays from _fused_prep_static.  Values and
+    position/weight gradients identical to fused_pair_block_env; table
+    gradients are not computed (MD path only)."""
+    return _fused_prep_fwd_dispatch(meta, interpret)(
+        oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol)
+
+
+def _fused_prep_fwd_rule(meta, interpret, *args):
+    out = _fused_prep_fwd_dispatch(meta, interpret)(*args)
+    return out, args
+
+
+def _fused_prep_bwd_rule(meta, interpret, res, cots):
+    (oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
+    g1, g2, gg, genv = cots
+    dxa, dxb, dbg1, d2, dxe = _fused_prep_bwd_dispatch(meta, interpret)(
+        oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+        g1, g2, gg, genv)
+    d_x1a = jnp.zeros_like(x1a).at[:, :6].set(dxa[:, :6].astype(x1a.dtype))
+    d_w1a = dxa[:, 6].astype(w1a.dtype)
+    d_x1b = jnp.zeros_like(x1b).at[:, :6].set(dxb[:, :6].astype(x1b.dtype))
+    d_w1b = dxb[:, 7].astype(w1b.dtype)
+    d_xb = jnp.zeros_like(xb).at[:, :6].set(
+        (dbg1 + d2[:, :6]).astype(xb.dtype))
+    d_x1e = jnp.zeros_like(x1e).at[:, :6].set(dxe[:, :6].astype(x1e.dtype))
+    d_wcol = d2[:, 6].astype(wcol.dtype)
+    return (None, None, None, None, d_x1a, d_w1a, d_x1b, d_w1b, d_xb,
+            d_x1e, d_wcol)
+
+
+fused_pair_block_env_prep.defvjp(_fused_prep_fwd_rule,
+                                 _fused_prep_bwd_rule)

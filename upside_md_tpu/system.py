@@ -74,7 +74,8 @@ class System:
         fuse_on = fusion is not None and fusion.enabled()
         for s in self.specs:
             if fuse_on and s.name == fusion.trigger_name:
-                extra["_fused"] = fusion.compute(params, outputs)
+                extra["_fused"] = fusion.compute(
+                    params, outputs, prepared=extra.get("_fused_prep"))
             inputs = [outputs[a] for a in s.args]
             p = params.get(s.name, {})
             extra["_node_name"] = s.name
