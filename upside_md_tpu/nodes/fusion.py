@@ -98,9 +98,17 @@ class PairFusionPlan:
         env_static = (tab4, jnp.asarray(env.consts["type1"]),
                       jnp.asarray(env.consts["type2"]), me)
         from ..ops.pallas_quadspline import _fused_prep_static
-        arrays, _ = _fused_prep_static(fams, tabs, t1s, t2s, masks,
-                                       shapes, env_static)
-        return arrays
+
+        # one jitted dispatch: prepare runs OUTSIDE the MD jit, and on
+        # the remote-TPU backend each eager op would pay a ~30 ms
+        # round trip (prepare is called once per advance and memoized,
+        # but the first call should not cost ~40 dispatches)
+        def staged(tabs_, env_tab4):
+            return _fused_prep_static(
+                fams, tabs_, t1s, t2s, masks, shapes,
+                (env_tab4,) + env_static[1:])[0]
+
+        return jax.jit(staged)(tabs, env_static[0])
 
     def _masks_and_shapes(self):
         cov1, cov2, rot, env = self.cov1, self.cov2, self.rot, self.env
