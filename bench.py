@@ -68,13 +68,14 @@ def _tpu_tunnel_alive(max_wait):
 
 
 def main():
-    # Default operating point: 256 replicas/chip — the measured per-chip
-    # aggregate maximum (BENCH_NOTES replica-scaling table: 10,648 steps/s
-    # at 256 vs 9,121 at 64; flat beyond).  The north star (BASELINE.md)
+    # Default operating point: 512 replicas/chip — the measured per-chip
+    # aggregate maximum at the round-4 final defaults (BENCH_NOTES
+    # r4o/r4s: 11,706 steps/s at 512 vs 11,548 at 256 and 9,518 at 64;
+    # flat within ±0.5% from 384 to 1024).  The north star (BASELINE.md)
     # is an aggregate-throughput target, so the headline is measured at
     # the production operating point; BENCH_REPLICAS=64 reproduces the
     # round-2/3 configuration.
-    n_replica = int(os.environ.get("BENCH_REPLICAS", "256"))
+    n_replica = int(os.environ.get("BENCH_REPLICAS", "512"))
     if os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
         wait = float(os.environ.get("BENCH_TUNNEL_WAIT", "3600"))
         if not _tpu_tunnel_alive(wait):
