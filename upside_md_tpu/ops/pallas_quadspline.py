@@ -52,6 +52,13 @@ RB_FWD = int(os.environ.get("UPSIDE_RB_FWD", "8"))
 # advance 23.006 vs 23.256 ms/eval, bench 11,419 vs 11,369 steps/s)
 RB_BWD = int(os.environ.get("UPSIDE_RB_BWD", "8"))
 
+# TIMING-ONLY (perf_loop): 1 replaces the backward kernel's poly-select
+# recompute with cheap geometry-derived stand-ins, bounding the VPU
+# savings a derivative-fields-from-forward design could reach
+# (BENCH_NOTES round-5 target #1).  Numbers are WRONG under the mock —
+# never enable outside a timing session.
+MOCK_BWD = int(os.environ.get("UPSIDE_FUSED_BWD_MOCK", "0"))
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -1101,9 +1108,11 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
     alive = jnp.any(mask_ref[:, :] > 0)
     is_env = (i == ITE) if ITE >= 0 else jnp.bool_(False)
 
-    @pl.when(alive & jnp.logical_not(is_env) & (r == 0))
-    def _():
-        _fill_C_scratch(_make_get_C(oh1_ref, t2t_ref, A), ka, k, c_ref)
+    if not MOCK_BWD:
+        @pl.when(alive & jnp.logical_not(is_env) & (r == 0))
+        def _():
+            _fill_C_scratch(_make_get_C(oh1_ref, t2t_ref, A), ka, k,
+                            c_ref)
 
     @pl.when(jnp.logical_not(alive))
     def _():
@@ -1157,14 +1166,20 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
             x1_ref, x2t_ref)
         o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
         s = dist * inv_dx
-        (a1,), (da1,) = _poly_accumulate_scratch(
-            (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a1,),
-            True)
-        (a2,), (da2,) = _poly_accumulate_scratch(
-            (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a2,),
-            True)
-        (wide, narrow), (dwide, dnarrow) = _poly_accumulate_scratch(
-            s, k, True, c_ref, (o_w, o_n), True)
+        if MOCK_BWD:
+            a1, da1 = 0.5 * cos1 + 0.6, 0.1 * cos1
+            a2, da2 = 0.5 * cos2 + 0.6, 0.1 * cos2
+            wide, dwide = 0.01 * s, 0.002 * s
+            narrow, dnarrow = 0.02 * s, 0.004 * s
+        else:
+            (a1,), (da1,) = _poly_accumulate_scratch(
+                (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref,
+                (o_a1,), True)
+            (a2,), (da2,) = _poly_accumulate_scratch(
+                (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref,
+                (o_a2,), True)
+            (wide, narrow), (dwide, dnarrow) = _poly_accumulate_scratch(
+                s, k, True, c_ref, (o_w, o_n), True)
 
         kcut = jnp.where(i >= IT0, kcut_pair, kcut_cov)
         live = (mask_ref[:, :] > 0)[None] & (s < kcut)
