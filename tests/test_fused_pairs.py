@@ -338,3 +338,86 @@ def test_system_level_env_fusion(rng, monkeypatch):
     den = np.sqrt(np.mean(np.asarray(g0) ** 2))
     err = np.sqrt(np.mean((np.asarray(g1) - np.asarray(g0)) ** 2)) / den
     assert err < 2e-3, err
+
+
+def test_fused_env_gradients_resid(rng, monkeypatch):
+    """UPSIDE_FUSED_RESID=1 (derivative-fields-from-forward backward,
+    BENCH_NOTES round-5 target #1): position/weight gradients match the
+    default recomputing backward to float noise."""
+    from upside_md_tpu.ops.pallas_quadspline import fused_pair_block_env
+    prob = make_problem(rng, n_a=6, n_b=7, n2=11)
+    envp = make_env_problem(rng, prob, n_e=5)
+    fams = prob[0]
+    statics, dyn = env_args(prob, envp)
+
+    def loss(x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        c1, c2, g, ev = fused_pair_block_env(
+            fams, True, *statics, x1a, w1a, x1b, w1b, xb, x1e, wcol)
+        return (jnp.sum(jnp.sin(c1)) + 2.0 * jnp.sum(jnp.cos(c2))
+                + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
+
+    g0 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)
+    monkeypatch.setenv("UPSIDE_FUSED_RESID", "1")
+    g1 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)
+    for i, (a, b) in enumerate(zip(g1, g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_fused_env_vmapped_resid(rng, monkeypatch):
+    """Resid backward under vmap (the production replica axis)."""
+    from upside_md_tpu.ops.pallas_quadspline import fused_pair_block_env
+    prob = make_problem(rng, n_a=6, n_b=7, n2=11)
+    envp = make_env_problem(rng, prob, n_e=5)
+    fams = prob[0]
+    statics, dyn_t = env_args(prob, envp)
+    B = 3
+    dyn = [jnp.stack([x + 0.01 * i for i in range(B)]) for x in dyn_t]
+
+    def loss(*d):
+        c1, c2, g, ev = fused_pair_block_env(fams, True, *statics, *d)
+        return (jnp.sum(jnp.sin(c1)) + 2.0 * jnp.sum(jnp.cos(c2))
+                + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
+
+    g0 = jax.vmap(jax.grad(loss, argnums=tuple(range(7))))(*dyn)
+    monkeypatch.setenv("UPSIDE_FUSED_RESID", "1")
+    g1 = jax.vmap(jax.grad(loss, argnums=tuple(range(7))))(*dyn)
+    for i, (a, b) in enumerate(zip(g1, g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"vmapped grad argnum {i}")
+
+
+def test_fused_prep_gradients_resid(rng, monkeypatch):
+    """Resid backward on the prepared-operand MD fast path: gradients
+    match the default prep backward."""
+    from upside_md_tpu.ops.pallas_quadspline import (
+        _fused_meta, _fused_prep_static, fused_pair_block_env_prep)
+    prob = make_problem(rng, n_a=6, n_b=7, n2=11)
+    envp = make_env_problem(rng, prob, n_e=5)
+    (fams, tab1, tab2, tab3, t1a, t1b, tc, ma, mb, mc,
+     x1a, w1a, x1b, w1b, xb) = prob
+    tab4, t1e, t2e, me, x1e, wcol = envp
+    shapes = (6, 7, 11, 5)
+    prep, meta = _fused_prep_static(
+        fams, (tab1, tab2, tab3), (t1a, t1b, tc), (tc, tc, tc),
+        (ma, mb, mc), shapes, (tab4, t1e, t2e, me))
+    meta2 = _fused_meta(
+        fams, (tab1.shape[0], tab2.shape[0], tab3.shape[0]), shapes, True)
+    assert meta == meta2
+
+    def loss(x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        c1, c2, g, ev = fused_pair_block_env_prep(
+            meta, True, *prep, x1a, w1a, x1b, w1b, xb, x1e, wcol)
+        return (jnp.sum(jnp.sin(c1)) + 2.0 * jnp.sum(jnp.cos(c2))
+                + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
+
+    dyn = (x1a, w1a, x1b, w1b, xb, x1e, wcol)
+    g0 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)
+    monkeypatch.setenv("UPSIDE_FUSED_RESID", "1")
+    g1 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)
+    for i, (a, b) in enumerate(zip(g1, g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=f"prep grad argnum {i}")

@@ -60,6 +60,18 @@ RB_BWD = int(os.environ.get("UPSIDE_RB_BWD", "8"))
 MOCK_BWD = int(os.environ.get("UPSIDE_FUSED_BWD_MOCK", "0"))
 
 
+def _resid_enabled():
+    """Derivative-fields-from-forward (BENCH_NOTES round-5 target #1):
+    under differentiation the fused forward additionally emits per-pair
+    (val, d/d dist, d/d cos1, d/d cos2) planes through the custom_vjp
+    residuals, and the backward consumes them instead of re-running the
+    C-plane lookup + poly-select chains.  Trades ~4 f32 planes of HBM
+    round trip for the backward's dominant VPU work.  Read at trace
+    time so tests and A/B sessions can flip it per-jit."""
+    return os.environ.get("UPSIDE_FUSED_RESID", "0") not in ("0", "",
+                                                             "off")
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
@@ -1000,8 +1012,8 @@ def _pad_distance_knots(table, ka, k, k_max):
 
 
 def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
-                      x1_ref, x2t_ref, oh1_ref, t2t_ref, mask_ref,
-                      *rest):
+                      want_planes, x1_ref, x2t_ref, oh1_ref, t2t_ref,
+                      mask_ref, *rest):
     # grid (n_j, n_it, n_rb): the replica-block dimension is INNERMOST so
     # the per-(i, j)-tile poly-coefficient planes — the MXU table lookup,
     # which is replica-independent — are computed ONCE into VMEM scratch
@@ -1017,10 +1029,13 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
     # Boltzmann weights riding x2t row 6, summed per ROW into cs row 2
     # (reference environment.cpp:12-68).  Its tile index is below IT0 so
     # its (ignored) grid block 0 is overwritten by the first pair tile.
-    if ITE >= 0:
-        ep_ref, cs_ref, grid_ref, c_ref = rest
+    rest = list(rest)
+    ep_ref = rest.pop(0) if ITE >= 0 else None
+    if want_planes:
+        cs_ref, grid_ref, pln_ref, c_ref = rest
     else:
         cs_ref, grid_ref, c_ref = rest
+        pln_ref = None
     inv_dtheta = (ka - 3) / 2.0
     it = pl.program_id(1)
     r = pl.program_id(2)
@@ -1035,6 +1050,8 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
     def _():
         grid_ref[:, :, :] = jnp.zeros_like(grid_ref)
         cs_ref[0] = jnp.zeros_like(cs_ref[0])
+        if want_planes:
+            pln_ref[:, :, :, :] = jnp.zeros_like(pln_ref)
 
     if ITE >= 0:
         @pl.when(alive & is_env)
@@ -1057,20 +1074,22 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
                  rowsum[:, None, :],
                  jnp.zeros((rb, 5, val.shape[1]), val.dtype)], axis=1)
             grid_ref[:, :, :] = jnp.zeros_like(grid_ref)
+            if want_planes:
+                pln_ref[:, :, :, :] = jnp.zeros_like(pln_ref)
 
     @pl.when(alive & jnp.logical_not(is_env))
     def _():
         _, _, dist, _, _, cos1, cos2 = _geometry(x1_ref, x2t_ref)
         o_a1, o_a2, o_w, o_n = _poly_offsets(ka, k)
         s = dist * inv_dx
-        (a1,), _ = _poly_accumulate_scratch(
+        (a1,), (da1,) = _poly_accumulate_scratch(
             (cos1 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a1,),
-            False)
-        (a2,), _ = _poly_accumulate_scratch(
+            want_planes)
+        (a2,), (da2,) = _poly_accumulate_scratch(
             (cos2 + 1.0) * inv_dtheta + 1.0, ka, False, c_ref, (o_a2,),
-            False)
-        (wide, narrow), _ = _poly_accumulate_scratch(
-            s, k, True, c_ref, (o_w, o_n), False)
+            want_planes)
+        (wide, narrow), (dwide, dnarrow) = _poly_accumulate_scratch(
+            s, k, True, c_ref, (o_w, o_n), want_planes)
         kcut = jnp.where(it >= IT0, kcut_pair, kcut_cov)
         live = (mask_ref[:, :] > 0)[None] & (s < kcut)
         val = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
@@ -1082,6 +1101,18 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
             [jnp.sum(w6 * val, 1, keepdims=True),
              jnp.sum(w7 * val, 1, keepdims=True),
              jnp.zeros((rb, 6, val.shape[2]), val.dtype)], axis=1)
+        if want_planes:
+            # derivative fields for the residual-consuming backward
+            # (BENCH_NOTES round-5 target #1): pre-masked, pre-scaled, so
+            # the backward kernel is pure geometry + multiply-reduce with
+            # no C-plane scratch and no poly-select chains.
+            pln_ref[:, 0] = val
+            pln_ref[:, 1] = jnp.where(
+                live, (dwide + a1 * a2 * dnarrow) * inv_dx, 0.0)
+            pln_ref[:, 2] = jnp.where(
+                live, da1 * inv_dtheta * a2 * narrow, 0.0)
+            pln_ref[:, 3] = jnp.where(
+                live, da2 * inv_dtheta * a1 * narrow, 0.0)
 
 
 def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
@@ -1205,6 +1236,114 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
         # weight cotangents: d(colsum_k)/d(w_k[i]) = sum_j val * g_k[j];
         # zero for pair tiles (their rows' weights are not exposed)
         val = jnp.where(live, wide + a1 * a2 * narrow, 0.0)
+        zero_if_pair = jnp.where(is_pair, 0.0, 1.0)
+        dw6 = zero_if_pair * jnp.sum(val * gcs_ref[:, 0:1, :], 2,
+                                     keepdims=True)
+        dw7 = zero_if_pair * jnp.sum(val * gcs_ref[:, 1:2, :], 2,
+                                     keepdims=True)
+
+        cols = []
+        for arr, sgn in ((gx, -1.0), (gy, -1.0), (gz, -1.0),
+                         (c1 * ux, 1.0), (c1 * uy, 1.0), (c1 * uz, 1.0)):
+            cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
+        cols.append(dw6)
+        cols.append(dw7)
+        d1_ref[0] = jnp.concatenate(cols, axis=2)      # (1, RB, TI, 8)
+
+        rows = []
+        for arr, sgn in ((gx, 1.0), (gy, 1.0), (gz, 1.0),
+                         (c2 * ux, -1.0), (c2 * uy, -1.0), (c2 * uz, -1.0)):
+            rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
+        rows.append(jnp.zeros_like(rows[0]))
+        rows.append(jnp.zeros_like(rows[0]))
+        d2_ref[0] = jnp.concatenate(rows, axis=1)      # (1, RB, 8, TJ)
+
+
+def _fused_bwd_resid_kernel(IT0, ITE, x1_ref, x2t_ref, mask_ref, *rest):
+    # Residual-consuming backward (BENCH_NOTES round-5 target #1): the
+    # forward kernel emitted pre-masked, pre-scaled derivative fields
+    # (val, d/d dist, d/d cos1, d/d cos2 — pln planes 0..3), so this
+    # kernel is geometry + multiply-reduce only: no type one-hots, no
+    # parameter slab, no C-plane scratch, no poly-select chains.  Same
+    # grid (n_j, n_it, n_rb) and output partials as _fused_bwd_kernel.
+    if ITE >= 0:
+        ep_ref, pln_ref, gcs_ref, ggrid_ref, d1_ref, d2_ref = rest
+    else:
+        pln_ref, gcs_ref, ggrid_ref, d1_ref, d2_ref = rest
+    i = pl.program_id(1)
+    alive = jnp.any(mask_ref[:, :] > 0)
+    is_env = (i == ITE) if ITE >= 0 else jnp.bool_(False)
+
+    @pl.when(jnp.logical_not(alive))
+    def _():
+        d1_ref[0] = jnp.zeros_like(d1_ref[0])
+        d2_ref[0] = jnp.zeros_like(d2_ref[0])
+
+    if ITE >= 0:
+        @pl.when(alive & is_env)
+        def _():
+            from .sigmoid import compact_sigmoid
+            dir1, _, dist, inv_dist, (ux, uy, uz), cos1, _ = _geometry(
+                x1_ref, x2t_ref)
+            r0 = ep_ref[0][None]
+            rs = ep_ref[1][None]
+            d0 = ep_ref[2][None]
+            ds = ep_ref[3][None]
+            radial, dradial = compact_sigmoid(dist - r0, rs)
+            angular, dangular = compact_sigmoid(d0 - cos1, ds)
+            m = mask_ref[:, :][None]
+            w = x2t_ref[:, 6:7, :]
+            genv = x1_ref[:, :, 6:7]
+            g = genv * m * w
+            rad = g * dradial * angular              # d/d dist
+            c1 = -g * radial * dangular              # d/d cos1
+            f1 = c1 * inv_dist
+            gx = rad * ux + f1 * (dir1[0] - cos1 * ux)
+            gy = rad * uy + f1 * (dir1[1] - cos1 * uy)
+            gz = rad * uz + f1 * (dir1[2] - cos1 * uz)
+
+            cols = []
+            for arr, sgn in ((gx, -1.0), (gy, -1.0), (gz, -1.0),
+                             (c1 * ux, 1.0), (c1 * uy, 1.0),
+                             (c1 * uz, 1.0)):
+                cols.append(sgn * jnp.sum(arr, 2, keepdims=True))
+            cols.append(jnp.zeros_like(cols[0]))
+            cols.append(jnp.zeros_like(cols[0]))
+            d1_ref[0] = jnp.concatenate(cols, axis=2)
+
+            dw = jnp.sum(genv * m * radial * angular, 1, keepdims=True)
+            rows = []
+            for arr, sgn in ((gx, 1.0), (gy, 1.0), (gz, 1.0)):
+                rows.append(sgn * jnp.sum(arr, 1, keepdims=True))
+            rows.extend([jnp.zeros_like(rows[0])] * 3)
+            rows.append(dw)
+            rows.append(jnp.zeros_like(rows[0]))
+            d2_ref[0] = jnp.concatenate(rows, axis=1)
+
+    @pl.when(alive & jnp.logical_not(is_env))
+    def _():
+        dir1, dir2, dist, inv_dist, (ux, uy, uz), cos1, cos2 = _geometry(
+            x1_ref, x2t_ref)
+        is_pair = i >= IT0
+        w6 = x1_ref[:, :, 6:7]
+        w7 = x1_ref[:, :, 7:8]
+        gcov = w6 * gcs_ref[:, 0:1, :] + w7 * gcs_ref[:, 1:2, :]
+        # the planes carry the live-mask (and inv_dx/inv_dtheta scales),
+        # so g needs no masking here
+        g = jnp.where(is_pair, ggrid_ref[:, :, :], gcov)
+        val = pln_ref[:, 0]
+        radial = g * pln_ref[:, 1]
+        c1 = g * pln_ref[:, 2]
+        c2 = g * pln_ref[:, 3]
+        f1 = c1 * inv_dist
+        f2 = c2 * inv_dist
+        gx = (radial * ux + f1 * (dir1[0] - cos1 * ux)
+              - f2 * (dir2[0] + cos2 * ux))
+        gy = (radial * uy + f1 * (dir1[1] - cos1 * uy)
+              - f2 * (dir2[1] + cos2 * uy))
+        gz = (radial * uz + f1 * (dir1[2] - cos1 * uz)
+              - f2 * (dir2[2] + cos2 * uz))
+
         zero_if_pair = jnp.where(is_pair, 0.0, 1.0)
         dw6 = zero_if_pair * jnp.sum(val * gcs_ref[:, 0:1, :], 2,
                                      keepdims=True)
@@ -1405,7 +1544,8 @@ def _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b, xb, masks,
 
 
 def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
-                       x1a, w1a, x1b, w1b, xb, env=None, prep=None):
+                       x1a, w1a, x1b, w1b, xb, env=None, prep=None,
+                       want_planes=False):
     (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
      n2, ITE, ep) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b,
                                 xb, masks, env, prep)
@@ -1436,23 +1576,30 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
                                      lambda j, i, r: (0, 0, j),
                                      memory_space=pltpu.VMEM))
         operands.append(ep)
-    cs_part, grid = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, rb, 8, TILE), lambda j, i, r: (i, r, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, TILE, TILE),
+                     lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
+        jax.ShapeDtypeStruct((R, n_it_pair * TILE, n2p), jnp.float32),
+    ]
+    if want_planes:
+        out_specs.append(pl.BlockSpec((rb, 4, TILE, TILE),
+                                      lambda j, i, r: (r, 0, i, j),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((R, 4, N1P, n2p),
+                                              jnp.float32))
+    kouts = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, ka, k, inv_dx, A_tot, IT0,
-                          ITE, kcc, kcp),
+                          ITE, kcc, kcp, want_planes),
         grid=(n2p // TILE, n_it, n_rb),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, rb, 8, TILE), lambda j, i, r: (i, r, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, TILE, TILE),
-                         lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
-            jax.ShapeDtypeStruct((R, n_it_pair * TILE, n2p),
-                                 jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((Mp, TILE, TILE), jnp.float32)],
         # the coefficient-plane scratch alone is Mp*64KB (~13 MB for the
         # shipped families) — above the conservative 16 MB default scoped
@@ -1461,6 +1608,10 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
+    if want_planes:
+        cs_part, grid, planes = kouts
+    else:
+        cs_part, grid = kouts
     cs = jnp.sum(cs_part, axis=0)                        # (R, 8, n2p)
     cov1 = cs[:n_rep, 0, :n2].astype(xb.dtype)
     cov2 = cs[:n_rep, 1, :n2].astype(xb.dtype)
@@ -1476,12 +1627,14 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         envsum = cs[:n_rep, 2, :].reshape(
             n_rep, n2p // TILE, TILE).sum(1)[:, :n_e]
         outs = outs + (envsum.astype(xb.dtype),)
+    if want_planes:
+        outs = outs + (planes[:n_rep],)
     return outs
 
 
 def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
                        x1a, w1a, x1b, w1b, xb, g1, g2, gg, env=None,
-                       genv=None, prep=None):
+                       genv=None, prep=None, planes=None):
     (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
      n2, ITE, ep) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b,
                                 xb, masks, env, prep)
@@ -1513,35 +1666,70 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
 
     n_it = N1P // TILE
     n_j = n2p // TILE
-    in_specs = [
-        pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [x1cat, x2t, oh1, t2t, maskcat]
-    if ITE >= 0:
-        in_specs.append(pl.BlockSpec((4, TILE, TILE),
-                                     lambda j, i, r: (0, 0, j),
-                                     memory_space=pltpu.VMEM))
-        operands.append(ep)
-    in_specs.extend([
-        pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((rb, TILE, TILE),
-                     lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
-                     memory_space=pltpu.VMEM),
-    ])
-    operands.extend([gcs, ggrid])
+    if planes is not None:
+        # residual-consuming backward: the derivative fields replace the
+        # type one-hots, parameter slab, and C-plane scratch entirely
+        planes = jnp.pad(planes.astype(jnp.float32),
+                         ((0, R - n_rep), (0, 0), (0, 0), (0, 0)))
+        in_specs = [
+            pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [x1cat, x2t, maskcat]
+        if ITE >= 0:
+            in_specs.append(pl.BlockSpec((4, TILE, TILE),
+                                         lambda j, i, r: (0, 0, j),
+                                         memory_space=pltpu.VMEM))
+            operands.append(ep)
+        in_specs.extend([
+            pl.BlockSpec((rb, 4, TILE, TILE),
+                         lambda j, i, r: (r, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE, TILE),
+                         lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
+                         memory_space=pltpu.VMEM),
+        ])
+        operands.extend([planes, gcs, ggrid])
+        kernel = functools.partial(_fused_bwd_resid_kernel, IT0, ITE)
+        scratch = []
+    else:
+        in_specs = [
+            pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, A_tot), lambda j, i, r: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp * 2 * A_tot, TILE), lambda j, i, r: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [x1cat, x2t, oh1, t2t, maskcat]
+        if ITE >= 0:
+            in_specs.append(pl.BlockSpec((4, TILE, TILE),
+                                         lambda j, i, r: (0, 0, j),
+                                         memory_space=pltpu.VMEM))
+            operands.append(ep)
+        in_specs.extend([
+            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE, TILE),
+                         lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
+                         memory_space=pltpu.VMEM),
+        ])
+        operands.extend([gcs, ggrid])
+        kernel = functools.partial(_fused_bwd_kernel, ka, k, inv_dx,
+                                   A_tot, IT0, ITE, kcc, kcp)
+        scratch = [pltpu.VMEM((Mp, TILE, TILE), jnp.float32)]
     d1_part, d2_part = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, ka, k, inv_dx, A_tot, IT0,
-                          ITE, kcc, kcp),
+        kernel,
         grid=(n_j, n_it, n_rb),
         in_specs=in_specs,
         out_specs=(
@@ -1554,7 +1742,7 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
             jax.ShapeDtypeStruct((n_j, R, N1P, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((Mp, TILE, TILE), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -1796,6 +1984,90 @@ def _fused_env_bwd_dispatch(fams, interpret):
     return bwd
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_env_fwdres_dispatch(fams, interpret):
+    """_fused_env_fwd_dispatch + the derivative-field planes as a fifth
+    output (consumed by the residual backward, see _resid_enabled)."""
+    @jax.custom_batching.custom_vmap
+    def fwd(tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
+            t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        outs = _fused_fwd_batched(
+            fams, interpret, RB_FWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a[None], w1a[None],
+            x1b[None], w1b[None], xb[None],
+            env=_env_pack(tab4, t1e, t2e, me, x1e[None], wcol[None]),
+            want_planes=True)
+        return tuple(o[0] for o in outs)
+
+    @fwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:16]
+        dyn = list(args[16:])
+        if any(in_batched[:16]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: fwd(*aa), tuple(bs))
+            return out, (True,) * 5
+        for n, b in enumerate(in_batched[16:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+         ma, mb, mc, me) = statics
+        x1a, w1a, x1b, w1b, xb, x1e, wcol = dyn
+        out = _fused_fwd_batched(
+            fams, interpret, RB_FWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb,
+            env=_env_pack(tab4, t1e, t2e, me, x1e, wcol),
+            want_planes=True)
+        return out, (True,) * 5
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_env_bwdres_dispatch(fams, interpret):
+    """_fused_env_bwd_dispatch taking the forward's derivative-field
+    planes as a final operand (geometry + multiply-reduce kernel)."""
+    @jax.custom_batching.custom_vmap
+    def bwd(tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
+            t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv, planes):
+        outs = _fused_bwd_batched(
+            fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a[None], w1a[None],
+            x1b[None], w1b[None], xb[None], g1[None], g2[None], gg[None],
+            env=_env_pack(tab4, t1e, t2e, me, x1e[None], wcol[None]),
+            genv=genv[None], planes=planes[None])
+        return tuple(o[0] for o in outs)
+
+    @bwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:16]
+        dyn = list(args[16:])
+        if any(in_batched[:16]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: bwd(*aa), tuple(bs))
+            return out, (True,) * 5
+        for n, b in enumerate(in_batched[16:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
+         ma, mb, mc, me) = statics
+        (x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg, genv,
+         planes) = dyn
+        out = _fused_bwd_batched(
+            fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
+            (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb, g1,
+            g2, gg, env=_env_pack(tab4, t1e, t2e, me, x1e, wcol),
+            genv=genv, planes=planes)
+        return out, (True,) * 5
+
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def fused_pair_block_env(fams, interpret, tab1, tab2, tab3, tab4,
                          t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
@@ -1815,6 +2087,9 @@ def fused_pair_block_env(fams, interpret, tab1, tab2, tab3, tab4,
 
 
 def _fused_env_fwd_rule(fams, interpret, *args):
+    if _resid_enabled():
+        *out, planes = _fused_env_fwdres_dispatch(fams, interpret)(*args)
+        return tuple(out), args + (planes,)
     out = _fused_env_fwd_dispatch(fams, interpret)(*args)
     return out, args
 
@@ -1834,15 +2109,26 @@ def _env_xla_rowsums(tab4, t1e, t2e, me, x1e, wcol, xb):
 
 
 def _fused_env_bwd_rule(fams, interpret, res, cots):
+    planes = None
+    if len(res) == 24:
+        *res, planes = res
     (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
      ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
     g1, g2, gg, genv = cots
     fam_cov, fam_pair = fams
 
-    dxa, dxb, dbg1, d2, dxe = _fused_env_bwd_dispatch(fams, interpret)(
-        tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
-        ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg,
-        genv)
+    if planes is not None:
+        dxa, dxb, dbg1, d2, dxe = _fused_env_bwdres_dispatch(
+            fams, interpret)(
+            tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
+            t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv, planes)
+    else:
+        dxa, dxb, dbg1, d2, dxe = _fused_env_bwd_dispatch(
+            fams, interpret)(
+            tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
+            t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv)
 
     d_x1a = jnp.zeros_like(x1a).at[:, :6].set(dxa[:, :6].astype(x1a.dtype))
     d_w1a = dxa[:, 6].astype(w1a.dtype)
@@ -1960,6 +2246,85 @@ def _fused_prep_bwd_dispatch(meta, interpret):
     return bwd
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_prep_fwdres_dispatch(meta, interpret):
+    """_fused_prep_fwd_dispatch + derivative-field planes output."""
+    @jax.custom_batching.custom_vmap
+    def fwd(oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol):
+        outs = _fused_fwd_batched(
+            None, interpret, RB_FWD, None, None, None, None,
+            x1a[None], w1a[None], x1b[None], w1b[None], xb[None],
+            env=_env_pack(None, None, None, None, x1e[None], wcol[None]),
+            prep=((oh1, t2t, maskcat, ep), meta), want_planes=True)
+        return tuple(o[0] for o in outs)
+
+    @fwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:4]
+        dyn = list(args[4:])
+        if any(in_batched[:4]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: fwd(*aa), tuple(bs))
+            return out, (True,) * 5
+        for n, b in enumerate(in_batched[4:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        oh1, t2t, maskcat, ep = statics
+        x1a, w1a, x1b, w1b, xb, x1e, wcol = dyn
+        out = _fused_fwd_batched(
+            None, interpret, RB_FWD, None, None, None, None,
+            x1a, w1a, x1b, w1b, xb,
+            env=_env_pack(None, None, None, None, x1e, wcol),
+            prep=((oh1, t2t, maskcat, ep), meta), want_planes=True)
+        return out, (True,) * 5
+
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_prep_bwdres_dispatch(meta, interpret):
+    """_fused_prep_bwd_dispatch consuming derivative-field planes."""
+    @jax.custom_batching.custom_vmap
+    def bwd(oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv, planes):
+        outs = _fused_bwd_batched(
+            None, interpret, RB_BWD, None, None, None, None,
+            x1a[None], w1a[None], x1b[None], w1b[None], xb[None],
+            g1[None], g2[None], gg[None],
+            env=_env_pack(None, None, None, None, x1e[None], wcol[None]),
+            genv=genv[None], prep=((oh1, t2t, maskcat, ep), meta),
+            planes=planes[None])
+        return tuple(o[0] for o in outs)
+
+    @bwd.def_vmap
+    def rule(axis_size, in_batched, *args):
+        statics = args[:4]
+        dyn = list(args[4:])
+        if any(in_batched[:4]):
+            bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                  for a, b in zip(args, in_batched)]
+            out = jax.lax.map(lambda aa: bwd(*aa), tuple(bs))
+            return out, (True,) * 5
+        for n, b in enumerate(in_batched[4:]):
+            if not b:
+                dyn[n] = jnp.broadcast_to(dyn[n],
+                                          (axis_size,) + dyn[n].shape)
+        oh1, t2t, maskcat, ep = statics
+        (x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg, genv,
+         planes) = dyn
+        out = _fused_bwd_batched(
+            None, interpret, RB_BWD, None, None, None, None,
+            x1a, w1a, x1b, w1b, xb, g1, g2, gg,
+            env=_env_pack(None, None, None, None, x1e, wcol),
+            genv=genv, prep=((oh1, t2t, maskcat, ep), meta),
+            planes=planes)
+        return out, (True,) * 5
+
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def fused_pair_block_env_prep(meta, interpret, oh1, t2t, maskcat, ep,
                               x1a, w1a, x1b, w1b, xb, x1e, wcol):
@@ -1974,16 +2339,30 @@ def fused_pair_block_env_prep(meta, interpret, oh1, t2t, maskcat, ep,
 
 
 def _fused_prep_fwd_rule(meta, interpret, *args):
+    if _resid_enabled():
+        *out, planes = _fused_prep_fwdres_dispatch(meta,
+                                                   interpret)(*args)
+        return tuple(out), args + (planes,)
     out = _fused_prep_fwd_dispatch(meta, interpret)(*args)
     return out, args
 
 
 def _fused_prep_bwd_rule(meta, interpret, res, cots):
+    planes = None
+    if len(res) == 12:
+        *res, planes = res
     (oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
     g1, g2, gg, genv = cots
-    dxa, dxb, dbg1, d2, dxe = _fused_prep_bwd_dispatch(meta, interpret)(
-        oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
-        g1, g2, gg, genv)
+    if planes is not None:
+        dxa, dxb, dbg1, d2, dxe = _fused_prep_bwdres_dispatch(
+            meta, interpret)(
+            oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv, planes)
+    else:
+        dxa, dxb, dbg1, d2, dxe = _fused_prep_bwd_dispatch(
+            meta, interpret)(
+            oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
+            g1, g2, gg, genv)
     d_x1a = jnp.zeros_like(x1a).at[:, :6].set(dxa[:, :6].astype(x1a.dtype))
     d_w1a = dxa[:, 6].astype(w1a.dtype)
     d_x1b = jnp.zeros_like(x1b).at[:, :6].set(dxb[:, :6].astype(x1b.dtype))
