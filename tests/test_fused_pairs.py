@@ -356,6 +356,7 @@ def test_fused_env_gradients_resid(rng, monkeypatch):
         return (jnp.sum(jnp.sin(c1)) + 2.0 * jnp.sum(jnp.cos(c2))
                 + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
 
+    monkeypatch.setenv("UPSIDE_FUSED_RESID", "0")
     g0 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)
     monkeypatch.setenv("UPSIDE_FUSED_RESID", "1")
     g1 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)
@@ -380,6 +381,7 @@ def test_fused_env_vmapped_resid(rng, monkeypatch):
         return (jnp.sum(jnp.sin(c1)) + 2.0 * jnp.sum(jnp.cos(c2))
                 + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
 
+    monkeypatch.setenv("UPSIDE_FUSED_RESID", "0")
     g0 = jax.vmap(jax.grad(loss, argnums=tuple(range(7))))(*dyn)
     monkeypatch.setenv("UPSIDE_FUSED_RESID", "1")
     g1 = jax.vmap(jax.grad(loss, argnums=tuple(range(7))))(*dyn)
@@ -414,6 +416,7 @@ def test_fused_prep_gradients_resid(rng, monkeypatch):
                 + jnp.sum(g * g) + jnp.sum(jnp.sin(2.0 * ev)))
 
     dyn = (x1a, w1a, x1b, w1b, xb, x1e, wcol)
+    monkeypatch.setenv("UPSIDE_FUSED_RESID", "0")
     g0 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)
     monkeypatch.setenv("UPSIDE_FUSED_RESID", "1")
     g1 = jax.grad(loss, argnums=tuple(range(7)))(*dyn)

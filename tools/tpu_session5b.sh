@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-5 stage-A serialized TPU session: the derivative-fields backward
+# Round-5 stage-B serialized TPU session: the derivative-fields backward
 # (UPSIDE_FUSED_RESID, BENCH_NOTES round-5 target #1) measured 3.801 vs
 # 4.398 ms/eval on the isolated fused piece at 64 reps (r5a).  This
 # session measures it in context: full force evaluation at 64 reps, and

@@ -67,8 +67,15 @@ def _resid_enabled():
     residuals, and the backward consumes them instead of re-running the
     C-plane lookup + poly-select chains.  Trades ~4 f32 planes of HBM
     round trip for the backward's dominant VPU work.  Read at trace
-    time so tests and A/B sessions can flip it per-jit."""
-    return os.environ.get("UPSIDE_FUSED_RESID", "0") not in ("0", "",
+    time so tests and A/B sessions can flip it per-jit.
+
+    Default ON since round 5: measured 12,994 vs 11,698 steps/s @512
+    replicas on the headline bench (bench_logs/r5b_0820_0516), gradient
+    equivalence covered by test_fused_pairs.py (plain/vmapped/prep).
+    Set UPSIDE_FUSED_RESID=0 to fall back to the recomputing backward
+    (saves the planes residual's HBM footprint; see
+    fused_pair_block_env docstring)."""
+    return os.environ.get("UPSIDE_FUSED_RESID", "1") not in ("0", "",
                                                              "off")
 
 
@@ -1329,8 +1336,11 @@ def _fused_bwd_resid_kernel(IT0, ITE, x1_ref, x2t_ref, mask_ref, *rest):
         w7 = x1_ref[:, :, 7:8]
         gcov = w6 * gcs_ref[:, 0:1, :] + w7 * gcs_ref[:, 1:2, :]
         # the planes carry the live-mask (and inv_dx/inv_dtheta scales),
-        # so g needs no masking here
-        g = jnp.where(is_pair, ggrid_ref[:, :, :], gcov)
+        # but the upstream cotangent itself may be non-finite in padded
+        # slots (NaN*0=NaN), so keep the cheap mask on g
+        m = (mask_ref[:, :] > 0)[None]
+        g = jnp.where(m, jnp.where(is_pair, ggrid_ref[:, :, :], gcov),
+                      0.0)
         val = pln_ref[:, 0]
         radial = g * pln_ref[:, 1]
         c1 = g * pln_ref[:, 2]
@@ -2080,18 +2090,27 @@ def fused_pair_block_env(fams, interpret, tab1, tab2, tab3, tab4,
 
     Returns (cov1, cov2, grid, env (n_e,)); env values identical to the
     XLA environment_coverage node.  Gradients additionally flow to x1e
-    and wcol (and tab4 under training)."""
+    and wcol (and tab4 under training).
+
+    HBM note: with UPSIDE_FUSED_RESID on (the default), differentiation
+    holds a (4, N1P, n2p) float32 planes residual per replica between
+    forward and backward — for the 76-res headline problem ~0.6 MB per
+    replica (~0.3 GB @512 replicas), growing linearly with replicas and
+    padded tile counts.  Set UPSIDE_FUSED_RESID=0 to trade it back for
+    the recomputing backward if a large-replica run OOMs."""
     return _fused_env_fwd_dispatch(fams, interpret)(
         tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
         ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol)
 
 
 def _fused_env_fwd_rule(fams, interpret, *args):
+    # residuals always end in a planes slot (array or None) so the bwd
+    # rule unpacks a fixed structure regardless of the resid flag
     if _resid_enabled():
         *out, planes = _fused_env_fwdres_dispatch(fams, interpret)(*args)
         return tuple(out), args + (planes,)
     out = _fused_env_fwd_dispatch(fams, interpret)(*args)
-    return out, args
+    return out, args + (None,)
 
 
 def _env_xla_rowsums(tab4, t1e, t2e, me, x1e, wcol, xb):
@@ -2109,9 +2128,7 @@ def _env_xla_rowsums(tab4, t1e, t2e, me, x1e, wcol, xb):
 
 
 def _fused_env_bwd_rule(fams, interpret, res, cots):
-    planes = None
-    if len(res) == 24:
-        *res, planes = res
+    *res, planes = res
     (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
      ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
     g1, g2, gg, genv = cots
@@ -2339,18 +2356,17 @@ def fused_pair_block_env_prep(meta, interpret, oh1, t2t, maskcat, ep,
 
 
 def _fused_prep_fwd_rule(meta, interpret, *args):
+    # fixed residual structure: planes slot is always present (or None)
     if _resid_enabled():
         *out, planes = _fused_prep_fwdres_dispatch(meta,
                                                    interpret)(*args)
         return tuple(out), args + (planes,)
     out = _fused_prep_fwd_dispatch(meta, interpret)(*args)
-    return out, args
+    return out, args + (None,)
 
 
 def _fused_prep_bwd_rule(meta, interpret, res, cots):
-    planes = None
-    if len(res) == 12:
-        *res, planes = res
+    *res, planes = res
     (oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
     g1, g2, gg, genv = cots
     if planes is not None:
