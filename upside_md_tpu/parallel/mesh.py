@@ -42,13 +42,26 @@ def sharded_advance(sim, mesh, n_rounds, axis="replica"):
     each device advances its local replicas — the reference's
     one-thread-per-replica OpenMP loop (main.cpp:618-667) becomes SPMD over
     ICI-connected chips.
+
+    The body runs under shard_map, NOT plain jit-with-shardings: under
+    jit the SPMD partitioner turns the BP solver's vmapped while_loop
+    predicate into a cross-device pred all-reduce (every sweep would
+    sync every chip and run the union of all chips' sweep counts) and
+    the round-number unbatching into an s32 all-reduce.  shard_map
+    traces one share-nothing program per device, so between exchange
+    rounds there is zero cross-device traffic — the premise of the xN
+    throughput projection, audited by __graft_entry__.dryrun_multichip.
     """
-    compiled = jax.jit(lambda s, p: sim.advance(s, p, n_rounds, True))
+    body = jax.shard_map(lambda s, p: sim.advance(s, p, n_rounds, True),
+                         mesh=mesh, in_specs=(P(axis), P()),
+                         out_specs=P(axis), check_vma=False)
+    compiled = jax.jit(body)
 
     def advance(state, params):
         state = shard_replica_state(state, mesh, axis)
         return compiled(state, params)
 
+    advance.compiled = compiled   # exposed for the dryrun HLO audit
     return advance
 
 
@@ -58,14 +71,23 @@ def sharded_hamiltonian_advance(sim, mesh, n_rounds, params, spec,
     parameter leaves named in the stack_param_ensembles spec carry a
     per-slot leading axis and are split over the replica mesh axis next to
     the state; shared leaves (the large interaction tables) replicate, so
-    each chip holds one table copy and its local slots' scalars."""
+    each chip holds one table copy and its local slots' scalars.  Runs
+    under shard_map for the same share-nothing reason as
+    sharded_advance."""
     from ..md.sim import param_axes  # noqa: F401  (spec documented there)
     shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     params = jax.tree_util.tree_map_with_path(
         lambda kp, x: jax.device_put(
             x, shard if jax.tree_util.keystr(kp) in spec else rep), params)
-    compiled = jax.jit(lambda s, p: sim.advance(s, p, n_rounds, True, spec))
+    pspecs = jax.tree_util.tree_map_with_path(
+        lambda kp, x: P(axis) if jax.tree_util.keystr(kp) in spec else P(),
+        params)
+    body = jax.shard_map(lambda s, p: sim.advance(s, p, n_rounds, True,
+                                                  spec),
+                         mesh=mesh, in_specs=(P(axis), pspecs),
+                         out_specs=P(axis), check_vma=False)
+    compiled = jax.jit(body)
 
     def advance(state):
         state = shard_replica_state(state, mesh, axis)
