@@ -212,6 +212,56 @@ def chi1_latency():
     return t_dev, t_total
 
 
+def training_throughput(n_replica=64, K=10):
+    """BASELINE config 5 second half: differentiable-training step
+    throughput — energy-match loss over a replica batch of perturbed
+    ubiquitin conformations, FULL parameter gradients (incl. the
+    interaction-table cotangent paths the MD loop never runs), SGD
+    update, on one chip.  Reference path: tensorflow_upside.py:148-295
+    (energy/deriv custom op inside the TF graph).  Returns
+    (t_dev_per_step, t_total_one_shot)."""
+    from upside_md_tpu.parallel.mesh import (make_replica_mesh,
+                                             sharded_training_step)
+    system, params, pos, _ = build_full_system(seq=UBIQUITIN)
+    pos = jnp.asarray(pos)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        np.asarray(pos)[None]
+        + 0.02 * rng.standard_normal((n_replica,) + pos.shape),
+        pos.dtype)
+    target = jnp.zeros((n_replica,), pos.dtype)
+    mesh = make_replica_mesh(1)
+
+    def sgd(p, g, s):
+        return jax.tree.map(lambda a, b: a - 1e-6 * b, p, g), s
+
+    step = sharded_training_step(system, sgd, mesh)
+    out = [None]
+
+    def run():
+        out[0] = step(params, (), batch, target)[2]
+
+    t_total = timed(run, lambda: float(out[0]), n=3)
+
+    # device time: chain K steps in one jit (params evolve through the
+    # SGD update each iteration, so no step can be cached or DCE'd)
+    @jax.jit
+    def chained(p):
+        def body(_, carry):
+            p, acc = carry
+            p2, _, loss = step(p, (), batch, target)
+            return p2, acc + loss
+        return jax.lax.fori_loop(0, K, body, (p, 0.0))[1]
+
+    res = [None]
+
+    def run_chained():
+        res[0] = chained(params)
+
+    t_dev = timed(run_chained, lambda: float(res[0]), n=3) / K
+    return t_dev, t_total
+
+
 def main():
     # fault isolation: one failing config must not lose the whole table
     # (the TPU window may be short); rows print as they complete.
@@ -267,6 +317,17 @@ def main():
               f"{t_total*1e3:.2f} ms total one-shot)")
     except Exception:
         print("chi1 prediction latency: ERROR", flush=True)
+        traceback.print_exc()
+
+    try:
+        t_dev, t_total = training_throughput()
+        print(f"{'training step (energy-match, 64-rep batch, full '
+              'param grads)':55s} "
+              f"{t_dev*1e3:10.2f} ms device / step "
+              f"({1.0/t_dev:,.1f} steps/s; one-shot {t_total*1e3:.1f} ms "
+              f"incl. dispatch)")
+    except Exception:
+        print("training throughput: ERROR", flush=True)
         traceback.print_exc()
 
 
