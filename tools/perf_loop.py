@@ -664,7 +664,8 @@ def main():
             lambda x: jax.lax.stop_gradient(x[0]), fused_all)
 
         stub_plan = copy.copy(plan)
-        stub_plan.compute = lambda params_, outputs_: dict(fused_c)
+        stub_plan.compute = (lambda params_, outputs_, prepared=None:
+                             dict(fused_c))
         nofused_system = copy.copy(system)
         nofused_system.pair_fusion = stub_plan
         nofused_sim = Simulation(nofused_system, dt=0.009,

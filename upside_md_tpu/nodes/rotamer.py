@@ -365,10 +365,20 @@ def _solve_damping(consts):
     return float(v) if v else float(consts["damping"])
 
 
+def _solve_chunk(consts):
+    """Convergence-check cadence (sweeps between tolerance tests,
+    reference iteration_chunk_size rotamer.cpp:1038-1046).  Schedule
+    only — overshooting the fixed point by up to chunk-1 sweeps never
+    changes it.  UPSIDE_BP_CHUNK overrides for A/B sessions."""
+    import os
+    v = os.environ.get("UPSIDE_BP_CHUNK")
+    return int(v) if v else int(consts.get("iteration_chunk_size", 2))
+
+
 def _rotamer(consts, params, inputs, extra):
     n_res = int(consts["n_res"])
     static = (n_res, _solve_damping(consts), int(consts["max_iter"]),
-              float(consts["tol"]), int(consts.get("iteration_chunk_size", 2)))
+              float(consts["tol"]), _solve_chunk(consts))
 
     # warm-start messages threaded through the MD loop (cache protocol of
     # System.energy_and_cache); BP converges to the same fixed point from
@@ -453,7 +463,7 @@ def _rotamer(consts, params, inputs, extra):
     out = _bp_solve(jax.lax.stop_gradient(prob), jax.lax.stop_gradient(P),
                     adj, valid, static[1], consts["max_iter"],
                     consts["tol"],
-                    consts.get("iteration_chunk_size", 2), init=init,
+                    _solve_chunk(consts), init=init,
                     return_iters=debug_iters)
     nb, eb = out[0], out[1]
     if cache_out is not None and name is not None:
