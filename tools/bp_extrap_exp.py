@@ -136,6 +136,11 @@ def main():
         "warm": None,
         "log1": (1.0, True, "both"),
         "log1nb": (1.0, True, "nb"),
+        # alpha sweep around the production default (round-5: does a
+        # damped or overshot nb extrapolation cut sweeps further?)
+        "log06nb": (0.6, True, "nb"),
+        "log08nb": (0.8, True, "nb"),
+        "log12nb": (1.2, True, "nb"),
         "quadnb": "quad",
     }
     counts = {k: [] for k in strategies}
