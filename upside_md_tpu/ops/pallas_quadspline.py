@@ -1039,10 +1039,10 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
     rest = list(rest)
     ep_ref = rest.pop(0) if ITE >= 0 else None
     if want_planes:
-        cs_ref, grid_ref, pln_ref, c_ref = rest
+        cs_ref, grid_ref, pln_ref, vcov_ref, c_ref = rest
     else:
         cs_ref, grid_ref, c_ref = rest
-        pln_ref = None
+        pln_ref = vcov_ref = None
     inv_dtheta = (ka - 3) / 2.0
     it = pl.program_id(1)
     r = pl.program_id(2)
@@ -1059,6 +1059,7 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
         cs_ref[0] = jnp.zeros_like(cs_ref[0])
         if want_planes:
             pln_ref[:, :, :, :] = jnp.zeros_like(pln_ref)
+            vcov_ref[:, :, :] = jnp.zeros_like(vcov_ref)
 
     if ITE >= 0:
         @pl.when(alive & is_env)
@@ -1083,6 +1084,7 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
             grid_ref[:, :, :] = jnp.zeros_like(grid_ref)
             if want_planes:
                 pln_ref[:, :, :, :] = jnp.zeros_like(pln_ref)
+                vcov_ref[:, :, :] = jnp.zeros_like(vcov_ref)
 
     @pl.when(alive & jnp.logical_not(is_env))
     def _():
@@ -1112,14 +1114,19 @@ def _fused_fwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
             # derivative fields for the residual-consuming backward
             # (BENCH_NOTES round-5 target #1): pre-masked, pre-scaled, so
             # the backward kernel is pure geometry + multiply-reduce with
-            # no C-plane scratch and no poly-select chains.
-            pln_ref[:, 0] = val
-            pln_ref[:, 1] = jnp.where(
+            # no C-plane scratch and no poly-select chains.  val itself
+            # rides the separate vcov output, whose block index is
+            # CLAMPED to the coverage band (min(i, IT0-1)): pair tiles
+            # overwrite the env tile's scrap block, so vcov stores the
+            # value plane only where the backward needs it (the coverage
+            # weight cotangents) instead of a fourth full-height plane.
+            pln_ref[:, 0] = jnp.where(
                 live, (dwide + a1 * a2 * dnarrow) * inv_dx, 0.0)
-            pln_ref[:, 2] = jnp.where(
+            pln_ref[:, 1] = jnp.where(
                 live, da1 * inv_dtheta * a2 * narrow, 0.0)
-            pln_ref[:, 3] = jnp.where(
+            pln_ref[:, 2] = jnp.where(
                 live, da2 * inv_dtheta * a1 * narrow, 0.0)
+            vcov_ref[:, :, :] = val
 
 
 def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
@@ -1269,15 +1276,22 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
 def _fused_bwd_resid_kernel(IT0, ITE, x1_ref, x2t_ref, mask_ref, *rest):
     # Residual-consuming backward (BENCH_NOTES round-5 target #1): the
     # forward kernel emitted pre-masked, pre-scaled derivative fields
-    # (val, d/d dist, d/d cos1, d/d cos2 — pln planes 0..3), so this
-    # kernel is geometry + multiply-reduce only: no type one-hots, no
-    # parameter slab, no C-plane scratch, no poly-select chains.  Same
-    # grid (n_j, n_it, n_rb) and output partials as _fused_bwd_kernel.
+    # (d/d dist, d/d cos1, d/d cos2 — pln planes 0..2; the value plane
+    # rides the coverage-band-clamped vcov residual), so this kernel is
+    # geometry + multiply-reduce only: no type one-hots, no parameter
+    # slab, no C-plane scratch, no poly-select chains.  Unlike the
+    # recomputing backward it has no C-scratch amortization constraint,
+    # so its grid is (n_j, n_rb, n_it) with the ROW-TILE axis innermost:
+    # the clamped vcov window is then unchanged across the pair tiles
+    # and the clamped ggrid window unchanged across the coverage tiles,
+    # and Mosaic elides those re-fetches (~2/7 of the backward's HBM
+    # reads at headline shapes).
     if ITE >= 0:
-        ep_ref, pln_ref, gcs_ref, ggrid_ref, d1_ref, d2_ref = rest
+        ep_ref, pln_ref, vcov_ref, gcs_ref, ggrid_ref, d1_ref, \
+            d2_ref = rest
     else:
-        pln_ref, gcs_ref, ggrid_ref, d1_ref, d2_ref = rest
-    i = pl.program_id(1)
+        pln_ref, vcov_ref, gcs_ref, ggrid_ref, d1_ref, d2_ref = rest
+    i = pl.program_id(2)
     alive = jnp.any(mask_ref[:, :] > 0)
     is_env = (i == ITE) if ITE >= 0 else jnp.bool_(False)
 
@@ -1341,10 +1355,10 @@ def _fused_bwd_resid_kernel(IT0, ITE, x1_ref, x2t_ref, mask_ref, *rest):
         m = (mask_ref[:, :] > 0)[None]
         g = jnp.where(m, jnp.where(is_pair, ggrid_ref[:, :, :], gcov),
                       0.0)
-        val = pln_ref[:, 0]
-        radial = g * pln_ref[:, 1]
-        c1 = g * pln_ref[:, 2]
-        c2 = g * pln_ref[:, 3]
+        val = vcov_ref[:, :, :]
+        radial = g * pln_ref[:, 0]
+        c1 = g * pln_ref[:, 1]
+        c2 = g * pln_ref[:, 2]
         f1 = c1 * inv_dist
         f2 = c2 * inv_dist
         gx = (radial * ux + f1 * (dir1[0] - cos1 * ux)
@@ -1354,11 +1368,14 @@ def _fused_bwd_resid_kernel(IT0, ITE, x1_ref, x2t_ref, mask_ref, *rest):
         gz = (radial * uz + f1 * (dir1[2] - cos1 * uz)
               - f2 * (dir2[2] + cos2 * uz))
 
-        zero_if_pair = jnp.where(is_pair, 0.0, 1.0)
-        dw6 = zero_if_pair * jnp.sum(val * gcs_ref[:, 0:1, :], 2,
-                                     keepdims=True)
-        dw7 = zero_if_pair * jnp.sum(val * gcs_ref[:, 1:2, :], 2,
-                                     keepdims=True)
+        # where (not multiply): pair tiles see the vcov SCRAP block,
+        # whose garbage may be non-finite — select, don't scale by zero
+        dw6 = jnp.where(is_pair, 0.0,
+                        jnp.sum(val * gcs_ref[:, 0:1, :], 2,
+                                keepdims=True))
+        dw7 = jnp.where(is_pair, 0.0,
+                        jnp.sum(val * gcs_ref[:, 1:2, :], 2,
+                                keepdims=True))
 
         cols = []
         for arr, sgn in ((gx, -1.0), (gy, -1.0), (gz, -1.0),
@@ -1598,10 +1615,18 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         jax.ShapeDtypeStruct((R, n_it_pair * TILE, n2p), jnp.float32),
     ]
     if want_planes:
-        out_specs.append(pl.BlockSpec((rb, 4, TILE, TILE),
+        out_specs.append(pl.BlockSpec((rb, 3, TILE, TILE),
                                       lambda j, i, r: (r, 0, i, j),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((R, 4, N1P, n2p),
+        out_shape.append(jax.ShapeDtypeStruct((R, 3, N1P, n2p),
+                                              jnp.float32))
+        # value plane, coverage band only: pair tiles land on the env
+        # tile's scrap block (min clamp); the backward never reads it
+        out_specs.append(pl.BlockSpec(
+            (rb, TILE, TILE),
+            lambda j, i, r: (r, jnp.minimum(i, IT0 - 1), j),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((R, IT0 * TILE, n2p),
                                               jnp.float32))
     kouts = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, ka, k, inv_dx, A_tot, IT0,
@@ -1619,7 +1644,7 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         interpret=interpret,
     )(*operands)
     if want_planes:
-        cs_part, grid, planes = kouts
+        cs_part, grid, planes, vcov = kouts
     else:
         cs_part, grid = kouts
     cs = jnp.sum(cs_part, axis=0)                        # (R, 8, n2p)
@@ -1638,13 +1663,13 @@ def _fused_fwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
             n_rep, n2p // TILE, TILE).sum(1)[:, :n_e]
         outs = outs + (envsum.astype(xb.dtype),)
     if want_planes:
-        outs = outs + (planes[:n_rep],)
+        outs = outs + (planes[:n_rep], vcov[:n_rep])
     return outs
 
 
 def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
                        x1a, w1a, x1b, w1b, xb, g1, g2, gg, env=None,
-                       genv=None, prep=None, planes=None):
+                       genv=None, prep=None, planes=None, vcov=None):
     (x1cat, x2t, oh1, t2t, maskcat, fam, A_tot, IT0, kcc, kcp, N1P, n2p,
      n2, ITE, ep) = _fused_prep(fams, tabs, t1s, t2s, x1a, w1a, x1b, w1b,
                                 xb, masks, env, prep)
@@ -1678,36 +1703,51 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
     n_j = n2p // TILE
     if planes is not None:
         # residual-consuming backward: the derivative fields replace the
-        # type one-hots, parameter slab, and C-plane scratch entirely
+        # type one-hots, parameter slab, and C-plane scratch entirely.
+        # Grid (n_j, n_rb, n_it) — row tiles INNERMOST (no C-scratch to
+        # amortize here), so the clamped vcov/ggrid windows repeat
+        # across consecutive row tiles and their re-fetches are elided.
         planes = jnp.pad(planes.astype(jnp.float32),
                          ((0, R - n_rep), (0, 0), (0, 0), (0, 0)))
+        vcov = jnp.pad(vcov.astype(jnp.float32),
+                       ((0, R - n_rep), (0, 0), (0, 0)))
         in_specs = [
-            pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
+            pl.BlockSpec((rb, TILE, 8), lambda j, r, i: (r, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+            pl.BlockSpec((rb, 8, TILE), lambda j, r, i: (r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, TILE), lambda j, i, r: (i, j),
+            pl.BlockSpec((TILE, TILE), lambda j, r, i: (i, j),
                          memory_space=pltpu.VMEM),
         ]
         operands = [x1cat, x2t, maskcat]
         if ITE >= 0:
             in_specs.append(pl.BlockSpec((4, TILE, TILE),
-                                         lambda j, i, r: (0, 0, j),
+                                         lambda j, r, i: (0, 0, j),
                                          memory_space=pltpu.VMEM))
             operands.append(ep)
         in_specs.extend([
-            pl.BlockSpec((rb, 4, TILE, TILE),
-                         lambda j, i, r: (r, 0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, TILE), lambda j, i, r: (r, 0, j),
+            pl.BlockSpec((rb, 3, TILE, TILE),
+                         lambda j, r, i: (r, 0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, TILE, TILE),
-                         lambda j, i, r: (r, jnp.maximum(i - IT0, 0), j),
+                         lambda j, r, i: (r, jnp.minimum(i, IT0 - 1), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 8, TILE), lambda j, r, i: (r, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE, TILE),
+                         lambda j, r, i: (r, jnp.maximum(i - IT0, 0), j),
                          memory_space=pltpu.VMEM),
         ])
-        operands.extend([planes, gcs, ggrid])
+        operands.extend([planes, vcov, gcs, ggrid])
         kernel = functools.partial(_fused_bwd_resid_kernel, IT0, ITE)
         scratch = []
+        grid = (n_j, n_rb, n_it)
+        out_specs = (
+            pl.BlockSpec((1, rb, TILE, 8), lambda j, r, i: (j, r, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, 8, TILE), lambda j, r, i: (i, r, 0, j),
+                         memory_space=pltpu.VMEM),
+        )
     else:
         in_specs = [
             pl.BlockSpec((rb, TILE, 8), lambda j, i, r: (r, i, 0),
@@ -1738,16 +1778,18 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         kernel = functools.partial(_fused_bwd_kernel, ka, k, inv_dx,
                                    A_tot, IT0, ITE, kcc, kcp)
         scratch = [pltpu.VMEM((Mp, TILE, TILE), jnp.float32)]
-    d1_part, d2_part = pl.pallas_call(
-        kernel,
-        grid=(n_j, n_it, n_rb),
-        in_specs=in_specs,
-        out_specs=(
+        grid = (n_j, n_it, n_rb)
+        out_specs = (
             pl.BlockSpec((1, rb, TILE, 8), lambda j, i, r: (j, r, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rb, 8, TILE), lambda j, i, r: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
-        ),
+        )
+    d1_part, d2_part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((n_j, R, N1P, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
@@ -1996,8 +2038,9 @@ def _fused_env_bwd_dispatch(fams, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _fused_env_fwdres_dispatch(fams, interpret):
-    """_fused_env_fwd_dispatch + the derivative-field planes as a fifth
-    output (consumed by the residual backward, see _resid_enabled)."""
+    """_fused_env_fwd_dispatch + the derivative-field planes and the
+    coverage-band value plane as fifth/sixth outputs (consumed by the
+    residual backward, see _resid_enabled)."""
     @jax.custom_batching.custom_vmap
     def fwd(tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
             t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol):
@@ -2017,7 +2060,7 @@ def _fused_env_fwdres_dispatch(fams, interpret):
             bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
                   for a, b in zip(args, in_batched)]
             out = jax.lax.map(lambda aa: fwd(*aa), tuple(bs))
-            return out, (True,) * 5
+            return out, (True,) * 6
         for n, b in enumerate(in_batched[16:]):
             if not b:
                 dyn[n] = jnp.broadcast_to(dyn[n],
@@ -2030,7 +2073,7 @@ def _fused_env_fwdres_dispatch(fams, interpret):
             (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb,
             env=_env_pack(tab4, t1e, t2e, me, x1e, wcol),
             want_planes=True)
-        return out, (True,) * 5
+        return out, (True,) * 6
 
     return fwd
 
@@ -2038,17 +2081,18 @@ def _fused_env_fwdres_dispatch(fams, interpret):
 @functools.lru_cache(maxsize=None)
 def _fused_env_bwdres_dispatch(fams, interpret):
     """_fused_env_bwd_dispatch taking the forward's derivative-field
-    planes as a final operand (geometry + multiply-reduce kernel)."""
+    planes and coverage value plane as final operands (geometry +
+    multiply-reduce kernel)."""
     @jax.custom_batching.custom_vmap
     def bwd(tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
             t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol,
-            g1, g2, gg, genv, planes):
+            g1, g2, gg, genv, planes, vcov):
         outs = _fused_bwd_batched(
             fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
             (t2a, t2b, t2c), (ma, mb, mc), x1a[None], w1a[None],
             x1b[None], w1b[None], xb[None], g1[None], g2[None], gg[None],
             env=_env_pack(tab4, t1e, t2e, me, x1e[None], wcol[None]),
-            genv=genv[None], planes=planes[None])
+            genv=genv[None], planes=planes[None], vcov=vcov[None])
         return tuple(o[0] for o in outs)
 
     @bwd.def_vmap
@@ -2067,12 +2111,12 @@ def _fused_env_bwdres_dispatch(fams, interpret):
         (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
          ma, mb, mc, me) = statics
         (x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg, genv,
-         planes) = dyn
+         planes, vcov) = dyn
         out = _fused_bwd_batched(
             fams, interpret, RB_BWD, (tab1, tab2, tab3), (t1a, t1b, t1c),
             (t2a, t2b, t2c), (ma, mb, mc), x1a, w1a, x1b, w1b, xb, g1,
             g2, gg, env=_env_pack(tab4, t1e, t2e, me, x1e, wcol),
-            genv=genv, planes=planes)
+            genv=genv, planes=planes, vcov=vcov)
         return out, (True,) * 5
 
     return bwd
@@ -2093,24 +2137,27 @@ def fused_pair_block_env(fams, interpret, tab1, tab2, tab3, tab4,
     and wcol (and tab4 under training).
 
     HBM note: with UPSIDE_FUSED_RESID on (the default), differentiation
-    holds a (4, N1P, n2p) float32 planes residual per replica between
-    forward and backward — for the 76-res headline problem ~0.6 MB per
-    replica (~0.3 GB @512 replicas), growing linearly with replicas and
-    padded tile counts.  Set UPSIDE_FUSED_RESID=0 to trade it back for
-    the recomputing backward if a large-replica run OOMs."""
+    holds a (3, N1P, n2p) float32 derivative-planes residual plus a
+    (IT0*128, n2p) coverage value plane per replica between forward and
+    backward — for the 76-res headline problem (N1P=896, n2p=384,
+    IT0=4) that is 3.9 MB + 0.75 MB ≈ 4.7 MB per replica (~2.4 GB @512
+    replicas), growing linearly with replicas and padded tile counts.
+    Set UPSIDE_FUSED_RESID=0 to trade it back for the recomputing
+    backward if a large-replica run OOMs."""
     return _fused_env_fwd_dispatch(fams, interpret)(
         tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
         ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol)
 
 
 def _fused_env_fwd_rule(fams, interpret, *args):
-    # residuals always end in a planes slot (array or None) so the bwd
-    # rule unpacks a fixed structure regardless of the resid flag
+    # residuals always end in (planes, vcov) slots (arrays or None) so
+    # the bwd rule unpacks a fixed structure regardless of the resid flag
     if _resid_enabled():
-        *out, planes = _fused_env_fwdres_dispatch(fams, interpret)(*args)
-        return tuple(out), args + (planes,)
+        *out, planes, vcov = _fused_env_fwdres_dispatch(
+            fams, interpret)(*args)
+        return tuple(out), args + (planes, vcov)
     out = _fused_env_fwd_dispatch(fams, interpret)(*args)
-    return out, args + (None,)
+    return out, args + (None, None)
 
 
 def _env_xla_rowsums(tab4, t1e, t2e, me, x1e, wcol, xb):
@@ -2128,7 +2175,7 @@ def _env_xla_rowsums(tab4, t1e, t2e, me, x1e, wcol, xb):
 
 
 def _fused_env_bwd_rule(fams, interpret, res, cots):
-    *res, planes = res
+    *res, planes, vcov = res
     (tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c, t2e,
      ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
     g1, g2, gg, genv = cots
@@ -2139,7 +2186,7 @@ def _fused_env_bwd_rule(fams, interpret, res, cots):
             fams, interpret)(
             tab1, tab2, tab3, tab4, t1a, t1b, t1c, t1e, t2a, t2b, t2c,
             t2e, ma, mb, mc, me, x1a, w1a, x1b, w1b, xb, x1e, wcol,
-            g1, g2, gg, genv, planes)
+            g1, g2, gg, genv, planes, vcov)
     else:
         dxa, dxb, dbg1, d2, dxe = _fused_env_bwd_dispatch(
             fams, interpret)(
@@ -2265,7 +2312,8 @@ def _fused_prep_bwd_dispatch(meta, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _fused_prep_fwdres_dispatch(meta, interpret):
-    """_fused_prep_fwd_dispatch + derivative-field planes output."""
+    """_fused_prep_fwd_dispatch + derivative-field planes and coverage
+    value-plane outputs."""
     @jax.custom_batching.custom_vmap
     def fwd(oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol):
         outs = _fused_fwd_batched(
@@ -2283,7 +2331,7 @@ def _fused_prep_fwdres_dispatch(meta, interpret):
             bs = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
                   for a, b in zip(args, in_batched)]
             out = jax.lax.map(lambda aa: fwd(*aa), tuple(bs))
-            return out, (True,) * 5
+            return out, (True,) * 6
         for n, b in enumerate(in_batched[4:]):
             if not b:
                 dyn[n] = jnp.broadcast_to(dyn[n],
@@ -2295,7 +2343,7 @@ def _fused_prep_fwdres_dispatch(meta, interpret):
             x1a, w1a, x1b, w1b, xb,
             env=_env_pack(None, None, None, None, x1e, wcol),
             prep=((oh1, t2t, maskcat, ep), meta), want_planes=True)
-        return out, (True,) * 5
+        return out, (True,) * 6
 
     return fwd
 
@@ -2305,14 +2353,14 @@ def _fused_prep_bwdres_dispatch(meta, interpret):
     """_fused_prep_bwd_dispatch consuming derivative-field planes."""
     @jax.custom_batching.custom_vmap
     def bwd(oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
-            g1, g2, gg, genv, planes):
+            g1, g2, gg, genv, planes, vcov):
         outs = _fused_bwd_batched(
             None, interpret, RB_BWD, None, None, None, None,
             x1a[None], w1a[None], x1b[None], w1b[None], xb[None],
             g1[None], g2[None], gg[None],
             env=_env_pack(None, None, None, None, x1e[None], wcol[None]),
             genv=genv[None], prep=((oh1, t2t, maskcat, ep), meta),
-            planes=planes[None])
+            planes=planes[None], vcov=vcov[None])
         return tuple(o[0] for o in outs)
 
     @bwd.def_vmap
@@ -2330,13 +2378,13 @@ def _fused_prep_bwdres_dispatch(meta, interpret):
                                           (axis_size,) + dyn[n].shape)
         oh1, t2t, maskcat, ep = statics
         (x1a, w1a, x1b, w1b, xb, x1e, wcol, g1, g2, gg, genv,
-         planes) = dyn
+         planes, vcov) = dyn
         out = _fused_bwd_batched(
             None, interpret, RB_BWD, None, None, None, None,
             x1a, w1a, x1b, w1b, xb, g1, g2, gg,
             env=_env_pack(None, None, None, None, x1e, wcol),
             genv=genv, prep=((oh1, t2t, maskcat, ep), meta),
-            planes=planes)
+            planes=planes, vcov=vcov)
         return out, (True,) * 5
 
     return bwd
@@ -2356,24 +2404,25 @@ def fused_pair_block_env_prep(meta, interpret, oh1, t2t, maskcat, ep,
 
 
 def _fused_prep_fwd_rule(meta, interpret, *args):
-    # fixed residual structure: planes slot is always present (or None)
+    # fixed residual structure: (planes, vcov) slots always present
+    # (arrays or None)
     if _resid_enabled():
-        *out, planes = _fused_prep_fwdres_dispatch(meta,
-                                                   interpret)(*args)
-        return tuple(out), args + (planes,)
+        *out, planes, vcov = _fused_prep_fwdres_dispatch(
+            meta, interpret)(*args)
+        return tuple(out), args + (planes, vcov)
     out = _fused_prep_fwd_dispatch(meta, interpret)(*args)
-    return out, args + (None,)
+    return out, args + (None, None)
 
 
 def _fused_prep_bwd_rule(meta, interpret, res, cots):
-    *res, planes = res
+    *res, planes, vcov = res
     (oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol) = res
     g1, g2, gg, genv = cots
     if planes is not None:
         dxa, dxb, dbg1, d2, dxe = _fused_prep_bwdres_dispatch(
             meta, interpret)(
             oh1, t2t, maskcat, ep, x1a, w1a, x1b, w1b, xb, x1e, wcol,
-            g1, g2, gg, genv, planes)
+            g1, g2, gg, genv, planes, vcov)
     else:
         dxa, dxb, dbg1, d2, dxe = _fused_prep_bwd_dispatch(
             meta, interpret)(
