@@ -1704,14 +1704,9 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
     if planes is not None:
         # residual-consuming backward: the derivative fields replace the
         # type one-hots, parameter slab, and C-plane scratch entirely.
-        # Unlike the recomputing kernel it has no per-(i, j)-tile
-        # C-scratch to amortize, so the column axis is FOLDED INTO THE
-        # BLOCK (full n2p-wide rows, one grid step per (replica-block,
-        # row-tile)): 3x fewer grid steps at headline shapes, full-row
-        # d1 partials (no n_j reduction axis), and the clamped
-        # vcov/ggrid windows repeat across consecutive row tiles so
-        # their re-fetches are elided.  Grid (1, n_rb, n_it) keeps the
-        # kernel's program_id axes: j is always 0.
+        # Grid (n_j, n_rb, n_it) — row tiles INNERMOST (no C-scratch to
+        # amortize here), so the clamped vcov/ggrid windows repeat
+        # across consecutive row tiles and their re-fetches are elided.
         planes = jnp.pad(planes.astype(jnp.float32),
                          ((0, R - n_rep), (0, 0), (0, 0), (0, 0)))
         vcov = jnp.pad(vcov.astype(jnp.float32),
@@ -1719,38 +1714,38 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         in_specs = [
             pl.BlockSpec((rb, TILE, 8), lambda j, r, i: (r, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, n2p), lambda j, r, i: (r, 0, j),
+            pl.BlockSpec((rb, 8, TILE), lambda j, r, i: (r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, n2p), lambda j, r, i: (i, j),
+            pl.BlockSpec((TILE, TILE), lambda j, r, i: (i, j),
                          memory_space=pltpu.VMEM),
         ]
         operands = [x1cat, x2t, maskcat]
         if ITE >= 0:
-            in_specs.append(pl.BlockSpec((4, TILE, n2p),
+            in_specs.append(pl.BlockSpec((4, TILE, TILE),
                                          lambda j, r, i: (0, 0, j),
                                          memory_space=pltpu.VMEM))
             operands.append(ep)
         in_specs.extend([
-            pl.BlockSpec((rb, 3, TILE, n2p),
+            pl.BlockSpec((rb, 3, TILE, TILE),
                          lambda j, r, i: (r, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, TILE, n2p),
+            pl.BlockSpec((rb, TILE, TILE),
                          lambda j, r, i: (r, jnp.minimum(i, IT0 - 1), j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 8, n2p), lambda j, r, i: (r, 0, j),
+            pl.BlockSpec((rb, 8, TILE), lambda j, r, i: (r, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, TILE, n2p),
+            pl.BlockSpec((rb, TILE, TILE),
                          lambda j, r, i: (r, jnp.maximum(i - IT0, 0), j),
                          memory_space=pltpu.VMEM),
         ])
         operands.extend([planes, vcov, gcs, ggrid])
         kernel = functools.partial(_fused_bwd_resid_kernel, IT0, ITE)
         scratch = []
-        grid = (1, n_rb, n_it)
+        grid = (n_j, n_rb, n_it)
         out_specs = (
             pl.BlockSpec((1, rb, TILE, 8), lambda j, r, i: (j, r, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, 8, n2p), lambda j, r, i: (i, r, 0, j),
+            pl.BlockSpec((1, rb, 8, TILE), lambda j, r, i: (i, r, 0, j),
                          memory_space=pltpu.VMEM),
         )
     else:
@@ -1796,7 +1791,7 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=(
-            jax.ShapeDtypeStruct((grid[0], R, N1P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_j, R, N1P, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_it, R, 8, n2p), jnp.float32),
         ),
         scratch_shapes=scratch,
