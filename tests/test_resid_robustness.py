@@ -53,6 +53,16 @@ def _grads_with_cotangent(statics, dyn, fams, poison):
         # the mask guard, not just the padding guard
         tril = np.tril_indices(n2, k=-1)
         gbar[:n2, :n2][tril] = np.nan
+        # cutoff-dead slots: mask-alive pairs beyond the distance cutoff
+        # evaluate to exactly 0 in the forward; a loss with an infinite
+        # gradient at grid==0 (e.g. sqrt) poisons exactly these — the
+        # backward must guard by live = mask AND inside-cutoff, not the
+        # mask alone (live in-cutoff slots are almost surely nonzero for
+        # random tables, so grid==0 identifies the cutoff-dead set)
+        dead = np.asarray(grid)[:n2, :n2] == 0.0
+        blk = gbar[:n2, :n2]
+        blk[dead] = np.inf
+        gbar[:n2, :n2] = blk
     cots = (jnp.ones_like(c1), jnp.ones_like(c2), jnp.asarray(gbar),
             jnp.ones_like(ev))
     return vjp(cots)

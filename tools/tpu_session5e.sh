@@ -29,6 +29,6 @@ run bp_rb8    2400 UPSIDE_BP_RB=8 python tools/perf_loop.py 256 30 --only=full
 # convergence-check cadence (schedule only, fixed point unchanged)
 run bp_chunk1 2400 UPSIDE_BP_CHUNK=1 python tools/perf_loop.py 256 30 --only=full
 run bp_chunk4 2400 UPSIDE_BP_CHUNK=4 python tools/perf_loop.py 256 30 --only=full
-echo "=== r5e session complete ($(date)); logs in $LOG"
 # re-run the nofused subtractive piece (stub signature fixed)
 run nofused_256 2400 python tools/perf_loop.py 256 30 --only=nofused
+echo "=== r5e session complete ($(date)); logs in $LOG"

@@ -372,7 +372,10 @@ def _solve_chunk(consts):
     changes it.  UPSIDE_BP_CHUNK overrides for A/B sessions."""
     import os
     v = os.environ.get("UPSIDE_BP_CHUNK")
-    return int(v) if v else int(consts.get("iteration_chunk_size", 2))
+    # clamp to >= 1: chunk 0 would make the solve body run zero sweeps
+    # between checks, which is meaningless and trips the loop carry
+    return max(1, int(v)) if v else max(
+        1, int(consts.get("iteration_chunk_size", 2)))
 
 
 def _rotamer(consts, params, inputs, extra):

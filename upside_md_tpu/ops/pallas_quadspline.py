@@ -1273,7 +1273,8 @@ def _fused_bwd_kernel(ka, k, inv_dx, A, IT0, ITE, kcut_cov, kcut_pair,
         d2_ref[0] = jnp.concatenate(rows, axis=1)      # (1, RB, 8, TJ)
 
 
-def _fused_bwd_resid_kernel(IT0, ITE, x1_ref, x2t_ref, mask_ref, *rest):
+def _fused_bwd_resid_kernel(IT0, ITE, inv_dx, kcut_cov, kcut_pair,
+                            x1_ref, x2t_ref, mask_ref, *rest):
     # Residual-consuming backward (BENCH_NOTES round-5 target #1): the
     # forward kernel emitted pre-masked, pre-scaled derivative fields
     # (d/d dist, d/d cos1, d/d cos2 — pln planes 0..2; the value plane
@@ -1352,8 +1353,15 @@ def _fused_bwd_resid_kernel(IT0, ITE, x1_ref, x2t_ref, mask_ref, *rest):
         # the planes carry the live-mask (and inv_dx/inv_dtheta scales),
         # but the upstream cotangent itself may be non-finite in padded
         # slots (NaN*0=NaN), so keep the cheap mask on g
-        m = (mask_ref[:, :] > 0)[None]
-        g = jnp.where(m, jnp.where(is_pair, ggrid_ref[:, :, :], gcov),
+        # guard by the SAME live predicate as the recomputing backward
+        # (mask AND inside-cutoff), not the mask alone: a non-finite
+        # upstream cotangent at a cutoff-dead slot (e.g. a loss with an
+        # infinite gradient at the zero-valued grid entries) would
+        # otherwise survive the mask and poison forces via NaN*0 against
+        # the zeroed derivative planes
+        kcut = jnp.where(is_pair, kcut_pair, kcut_cov)
+        live = (mask_ref[:, :] > 0)[None] & (dist * inv_dx < kcut)
+        g = jnp.where(live, jnp.where(is_pair, ggrid_ref[:, :, :], gcov),
                       0.0)
         val = vcov_ref[:, :, :]
         radial = g * pln_ref[:, 0]
@@ -1739,7 +1747,8 @@ def _fused_bwd_batched(fams, interpret, rb, tabs, t1s, t2s, masks,
                          memory_space=pltpu.VMEM),
         ])
         operands.extend([planes, vcov, gcs, ggrid])
-        kernel = functools.partial(_fused_bwd_resid_kernel, IT0, ITE)
+        kernel = functools.partial(_fused_bwd_resid_kernel, IT0, ITE,
+                                   inv_dx, kcc, kcp)
         scratch = []
         grid = (n_j, n_rb, n_it)
         out_specs = (

@@ -4,10 +4,12 @@ The reference's only parallel axes are OpenMP-over-replicas for MD and
 MPI-data-parallel-over-systems for training (SURVEY.md section 2.4).  On a
 TPU pod both become a single `replica` mesh axis:
 
-* MD: every replica advances independently; jit with a NamedSharding over
-  the replica axis partitions the vmapped round function with zero
-  communication, and replica-exchange gathers lower to ICI collective
-  permutes.
+* MD: every replica advances independently; the production advances run
+  under `shard_map` (one share-nothing program per device) because plain
+  jit-with-shardings lets the SPMD partitioner insert per-sweep
+  all-reduces for the BP while predicate — the dryrun's zero-collective
+  HLO audit fails that formulation.  Replica-exchange gathers lower to
+  ICI collective permutes, only at swap rounds.
 * Training: per-system energy/parameter gradients psum over the same axis
   (replacing mpi_collective_object.py + comm.Reduce).
 """
@@ -93,6 +95,9 @@ def sharded_hamiltonian_advance(sim, mesh, n_rounds, params, spec,
         state = shard_replica_state(state, mesh, axis)
         return compiled(state, params)
 
+    # exposed for the dryrun's zero-collective HLO audit (this path is a
+    # separate compilation from sharded_advance and is audited on its own)
+    advance.compiled = compiled
     return advance, params
 
 
